@@ -1,0 +1,171 @@
+"""Simulation configuration.
+
+Folds the reference's two config tiers into one runtime dataclass:
+the key-value parameter file (``initial.c:25-202`` in the reference) and the
+compile-time feature flags (``-DLONGSHORT``, ``-DPERIODIC_CONDITION``,
+``-DPMTHREAD``, ``PMONLY`` -- ``1_Indexing/Makefile:10``) become plain
+boolean fields.
+
+Derived quantities replicate ``initial.c:324-346``:
+
+- ``split_radius  = 1.25 * boxsize / n_side``  (unless SPLITSCALE given)
+- ``cutoff_radius = 4.5  * split_radius``
+- ``soften_scale  = 0.03 * boxsize / n_part_total**(1/3)`` (unless SOFTENING)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All runtime knobs of the simulation (box, cosmology, solver, IO)."""
+
+    # --- box & particles -------------------------------------------------
+    boxsize: float = 100000.0           # kpc/h (Gadget length unit)
+    n_part_total: int = 32768
+    mass_part: float = 0.0              # 1e10 Msun/h; 0 -> derived from Omega_m
+
+    # --- cosmology (flat LCDM) -------------------------------------------
+    omega_m: float = 0.25
+    omega_x: float = 0.75
+    hubble: float = 0.7
+    grav_const: float = 43007.105732    # G in Gadget units (demo/lcdm_g2.run:29)
+    initial_redshift: float = 49.0
+
+    # --- force solver ----------------------------------------------------
+    open_angle: float = 0.4             # OPENANGLE: dual-tree MAC theta
+    n_side: int = 32                    # NumMeshSide: PM mesh cells per side
+    leaf_size: int = 16                 # MaxPackage: particle capacity per leaf
+    split_scale: Optional[float] = None     # SPLITSCALE override of splitRadius
+    softening: Optional[float] = None       # SOFTENING override of SoftenScale
+    longshort: bool = True              # Ewald long/short split (-DLONGSHORT)
+    periodic: bool = True               # -DPERIODIC_CONDITION
+    pm_only: bool = False               # PMONLY mode (photoNs.c:70-126)
+
+    # --- time integration -------------------------------------------------
+    n_steps: int = 100                  # reference hardcodes 100 (photoNs.c:384)
+    final_scale_factor: float = 1.0
+
+    # --- numerics ----------------------------------------------------------
+    dtype: str = "float32"              # device dtype for particle state
+    # capacity knobs for static-shape traversal (see ops/traversal.py)
+    p2p_neighbor_cap: int = 64          # max P2P source leaves per target leaf
+    m2l_cap_per_node: int = 32          # max M2L sources per target node/level
+    open_cap_per_node: int = 32         # frontier pairs per node per level
+
+    # --- parallelism -------------------------------------------------------
+    n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)
+    shard_capacity_factor: float = 2.0  # per-shard particle padding factor
+
+    # --- IO ---------------------------------------------------------------
+    code_proj: str = "demo"
+    input_path: str = ""
+    output_path: str = "."
+    output_name: str = "snapshot"
+    snap_format: int = 2                # 2 = Gadget-2, -2 = uniform random IC
+    snap_number: int = 1                # files per snapshot on read
+    snap_times: Tuple[float, ...] = (1.0,)
+
+    # ------------------------------------------------------------------ #
+    # derived quantities (initial.c:324-346)
+    # ------------------------------------------------------------------ #
+    @property
+    def split_radius(self) -> float:
+        if self.split_scale is not None and self.split_scale > 0:
+            return float(self.split_scale)
+        return 1.25 * self.boxsize / self.n_side
+
+    @property
+    def cutoff_radius(self) -> float:
+        return 4.5 * self.split_radius
+
+    @property
+    def soften_scale(self) -> float:
+        if self.softening is not None and self.softening >= 0:
+            return float(self.softening)
+        return 0.03 * self.boxsize / self.n_part_total ** (1.0 / 3.0)
+
+    @property
+    def initial_scale_factor(self) -> float:
+        return 1.0 / (1.0 + self.initial_redshift)
+
+    @property
+    def particle_mass(self) -> float:
+        """Particle mass; derived from the critical density if not given.
+
+        Mirrors ``ic_uniform`` (initial.c:605-606):
+        m = Omega_m * 3*H0^2/(8 pi G) * V / N with H0 = 0.1 in code units.
+        """
+        if self.mass_part > 0:
+            return self.mass_part
+        h0_sq = 0.01  # (0.1)^2, code units
+        rho_crit = 3.0 * h0_sq / (8.0 * math.pi * self.grav_const)
+        return self.omega_m * rho_crit * self.boxsize ** 3 / self.n_part_total
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# Parameter-file parser (key-value text, '#' comments) -- initial.c:25-202.
+# Accepts the reference's .run files verbatim.
+# --------------------------------------------------------------------------
+
+_KEYMAP = {
+    "CODEPROJ": ("code_proj", str),
+    "INPUTPATH": ("input_path", str),
+    "OUTPUTPATH": ("output_path", str),
+    "OUTPUTNAME": ("output_name", str),
+    "SNAPFORMAT": ("snap_format", int),
+    "SNAPNUMBER": ("snap_number", int),
+    "OPENANGLE": ("open_angle", float),
+    "BOXSIZE": ("boxsize", float),
+    "OMEGAM": ("omega_m", float),
+    "OMEGAX": ("omega_x", float),
+    "HUBBLE": ("hubble", float),
+    "SOFTENING": ("softening", float),
+    "SPLITSCALE": ("split_scale", float),
+    "GRAVCONSTANT": ("grav_const", float),
+    "INITIALTIME": ("initial_redshift", float),
+    "NUMPART": ("n_part_total", int),
+    "NUMMESHSIDE": ("n_side", int),
+    "MAXPACKAGE": ("leaf_size", int),
+    "NUMTHREAD": (None, int),           # accepted, unused on TPU
+    "NPROCVERTICAL": (None, int),       # accepted; mesh shape picked at runtime
+    "NPROCHORIZON": (None, int),
+}
+
+
+def load_parameter_file(path: str, **overrides) -> SimConfig:
+    """Parse a photoNs-2 parameter file into a :class:`SimConfig`.
+
+    Unknown keys raise (the reference exits on typos, initial.c:33-37).
+    ``SnapTime`` may repeat; values accumulate into ``snap_times``.
+    """
+    kw = {}
+    snap_times = []
+    with open(path, "r") as fh:
+        for raw in fh:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"malformed parameter line: {raw!r}")
+            key, value = parts[0].upper(), parts[1].strip()
+            if key == "SNAPTIME":
+                snap_times.extend(float(v) for v in value.split())
+                continue
+            if key not in _KEYMAP:
+                raise ValueError(f"unknown parameter {parts[0]!r} in {path}")
+            field, cast = _KEYMAP[key]
+            if field is not None:
+                kw[field] = cast(value)
+    if snap_times:
+        kw["snap_times"] = tuple(snap_times)
+    kw.update(overrides)
+    return SimConfig(**kw)

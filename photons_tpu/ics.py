@@ -1,0 +1,90 @@
+"""Initial-condition generators.
+
+- ``ic_uniform``: uniform random positions, zero velocities -- functional
+  equivalent of the reference's ``ic_uniform`` (initial.c:567-627), which
+  fills the box with ran3 uniforms and derives the particle mass from the
+  matter density (initial.c:605-606).  We use a counter-based numpy RNG
+  instead of Numerical-Recipes ran3 (utility.c:146-182); the reference's
+  stream is an implementation detail, not physics.
+- ``ic_zeldovich``: first-order Lagrangian (Zel'dovich) displacements from a
+  power-law P(k), giving a physically sensible clustered IC for tests and
+  benchmarks.  (The reference declares ic_lcdm0/1/2 generators but ships no
+  implementation -- inc/icreater.h:8-14; this fills that gap.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from photons_tpu.config import SimConfig
+
+
+def ic_uniform(cfg: SimConfig, seed: int = 12345):
+    """Uniform random positions in [0, L)^3, zero velocities."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0.0, cfg.boxsize, size=(cfg.n_part_total, 3))
+    vel = np.zeros_like(pos)
+    return pos, vel
+
+
+def ic_grid(cfg: SimConfig):
+    """Particles on a regular lattice (useful for force-error tests)."""
+    n_side = round(cfg.n_part_total ** (1.0 / 3.0))
+    if n_side**3 != cfg.n_part_total:
+        raise ValueError("n_part_total must be a perfect cube for ic_grid")
+    d = cfg.boxsize / n_side
+    idx = np.arange(n_side)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    pos = (np.stack([x, y, z], axis=-1).reshape(-1, 3) + 0.5) * d
+    return pos, np.zeros_like(pos)
+
+
+def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index: float = -1.0,
+                 amplitude: float = 0.05):
+    """Zel'dovich displacements from a Gaussian random field.
+
+    Displacement field psi(q) with psi(k) = i k/k^2 delta(k); particles start
+    on the lattice and move by a*psi with the growing-mode velocity
+    v = a * H(a) * f * psi (f ~ Omega_m(a)^0.55).  ``amplitude`` sets the
+    rms displacement in units of the interparticle spacing.
+    """
+    from photons_tpu import cosmology
+
+    n_side = round(cfg.n_part_total ** (1.0 / 3.0))
+    if n_side**3 != cfg.n_part_total:
+        raise ValueError("n_part_total must be a perfect cube for ic_zeldovich")
+    L = cfg.boxsize
+    rng = np.random.default_rng(seed)
+
+    k1 = 2.0 * np.pi / L * np.fft.fftfreq(n_side, d=1.0 / n_side)
+    kx, ky, kz = np.meshgrid(k1, k1, k1[: n_side // 2 + 1], indexing="ij")
+    k2 = kx**2 + ky**2 + kz**2
+    k2[0, 0, 0] = 1.0
+
+    # Gaussian delta(k) with power-law P(k) ~ k^n, smoothed at the Nyquist.
+    pk = np.where(k2 > (2 * np.pi / L) ** 2 * 0.5, np.sqrt(k2) ** spectral_index, 0.0)
+    pk *= np.exp(-k2 / (0.25 * (np.pi * n_side / L) ** 2))
+    noise = rng.normal(size=k2.shape) + 1j * rng.normal(size=k2.shape)
+    delta_k = noise * np.sqrt(pk / 2.0)
+
+    psi = np.empty((n_side, n_side, n_side, 3))
+    for d_ax, kc in enumerate((kx, ky, kz)):
+        psi[..., d_ax] = np.fft.irfftn(1j * kc / k2 * delta_k, s=(n_side,) * 3)
+
+    rms = np.sqrt(np.mean(np.sum(psi**2, axis=-1)))
+    spacing = L / n_side
+    psi *= amplitude * spacing / max(rms, 1e-30)
+
+    a0 = cfg.initial_scale_factor
+    h_a = cosmology.hubble(a0, cfg.omega_m, cfg.omega_x)
+    om_a = cfg.omega_m / (cfg.omega_m + cfg.omega_x * a0**3)
+    growth_rate = om_a**0.55
+
+    idx = np.arange(n_side)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    lattice = (np.stack([x, y, z], axis=-1) + 0.5) * spacing
+    pos = np.mod(lattice + a0 * psi, L).reshape(-1, 3)
+    # internal velocity unit: v_int = v_pec * a  (gdt2unit = a^1.5 on the
+    # Gadget u = v_pec/sqrt(a) convention, snapshot.c:261)
+    vel = (a0 * a0 * h_a * growth_rate * psi).reshape(-1, 3)
+    return pos, vel
