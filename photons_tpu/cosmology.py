@@ -105,6 +105,26 @@ def drift_factor_jnp(loga_i, loga_f, omega_m, omega_x):
     return _simpson_loga_jnp(integrand, loga_i, loga_f)
 
 
+def growth_factor(a, omega_m: float, omega_x: float, normalize_at: float = 1.0):
+    """Linear growing-mode D(a) for flat LCDM: D ~ H(a) int_0^a da'/(a'H')^3.
+
+    Not present in the reference (its ICs come from external files); needed
+    for the Zel'dovich IC generator and linear-growth validation tests.
+    """
+    from scipy.integrate import quad
+
+    def unnorm(a_val):
+        h = float(hubble(a_val, omega_m, omega_x))
+        integral, _ = quad(
+            lambda ap: (ap * float(hubble(ap, omega_m, omega_x))) ** -3,
+            0.0, a_val, epsabs=1e-12, epsrel=1e-10)
+        return h * integral
+
+    a_arr = np.atleast_1d(np.asarray(a, np.float64))
+    d = np.array([unnorm(av) for av in a_arr]) / unnorm(normalize_at)
+    return d if np.ndim(a) else float(d[0])
+
+
 def step_factors(a_init: float, a_final: float, n_steps: int,
                  omega_m: float, omega_x: float):
     """Per-step (kick, drift) factors for the whole run.

@@ -1,0 +1,212 @@
+"""Simulation driver: KDK leapfrog in log-a time (the reference's
+``driver()``, photoNs.c:35-356, re-done as a functional jitted step).
+
+Step structure (photoNs.c:146-339):
+
+  per step i over [loga_i, loga_f]:
+    dk = kick_loga, dd = drift_loga;  dkh = 0.5 * dk * G
+    vel += (acc + acc_pm) * dkh          # half kick with previous forces
+    pos += vel * dd;  periodic wrap
+    recompute (acc, acc_pm)              # FMM/direct short + PM long
+    vel += (acc + acc_pm) * dkh          # closing half kick
+
+Forces are computed once before the loop (photoNs.c:95-132) so the first
+half-kick has forces to use.  G enters only through dkh (photoNs.c:161).
+
+The whole step is one ``jit``-ed function; dk/dd are traced scalars so a
+single compilation serves every step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photons_tpu import cosmology
+from photons_tpu.config import SimConfig
+from photons_tpu.io.gadget import GadgetHeader, write_gadget
+from photons_tpu.pm.solver import green_function, pm_accel
+from photons_tpu.state import SimState, make_state, wrap_periodic
+from photons_tpu.utils.logging import RunLog
+from photons_tpu.utils.timers import PhaseTimers
+
+ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
+    """Build a (pos) -> (acc_short, acc_pm) function.
+
+    engine:
+      'pm'     -- PM only (the reference's PMONLY mode, photoNs.c:70-126)
+      'direct' -- O(N^2) damped direct sum short-range + PM (oracle engine)
+      'fmm'    -- tree FMM short-range + PM (the production TreePM engine)
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    mass = cfg.particle_mass
+    gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius, dtype=dtype)
+
+    def pm_fn(pos):
+        return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
+                        n_side=cfg.n_side)
+
+    if engine == "pm":
+        def force_fn(pos):
+            return jnp.zeros_like(pos), pm_fn(pos)
+    elif engine == "direct":
+        from photons_tpu.ops.direct import direct_forces
+
+        def force_fn(pos):
+            acc = direct_forces(
+                pos, mass=mass, eps=cfg.soften_scale,
+                split_radius=cfg.split_radius if cfg.longshort else None,
+                boxsize=cfg.boxsize if cfg.periodic else None,
+                n_images=1 if cfg.periodic else 0)
+            return acc, pm_fn(pos)
+    elif engine == "fmm":
+        from photons_tpu.ops.fmm_engine import make_fmm_force_fn
+
+        fmm_fn = make_fmm_force_fn(cfg)
+
+        def force_fn(pos):
+            return fmm_fn(pos), pm_fn(pos)
+    else:
+        raise ValueError(f"unknown force engine {engine!r}")
+    return force_fn
+
+
+def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
+    """One KDK step as a pure jitted function of (state, dk, dd, a_next)."""
+    grav = cfg.grav_const
+    boxsize = cfg.boxsize
+    periodic = cfg.periodic
+
+    @jax.jit
+    def step(state: SimState, dk, dd, a_next) -> SimState:
+        dkh = 0.5 * dk * grav
+        vel = state.vel + (state.acc + state.acc_pm) * dkh
+        pos = state.pos + vel * dd
+        if periodic:
+            pos = wrap_periodic(pos, boxsize)
+        acc, acc_pm = force_fn(pos)
+        vel = vel + (acc + acc_pm) * dkh
+        return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                        a=jnp.asarray(a_next, state.pos.dtype))
+
+    return step
+
+
+@dataclasses.dataclass
+class Simulation:
+    """Owns config, state, the jitted step, timers and the run log."""
+
+    cfg: SimConfig
+    state: SimState
+    engine: str = "pm"
+    log: Optional[RunLog] = None
+    timers: PhaseTimers = dataclasses.field(default_factory=PhaseTimers)
+
+    def __post_init__(self):
+        self._force_fn = make_force_fn(self.cfg, self.engine)
+        self._step_fn = make_step_fn(self.cfg, self._force_fn)
+        self._force_jit = jax.jit(self._force_fn)
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_arrays(cls, cfg: SimConfig, pos, vel, engine: str = "pm",
+                    a: Optional[float] = None, log: bool = False):
+        dtype = jnp.dtype(cfg.dtype)
+        state = make_state(pos, vel, a if a is not None
+                           else cfg.initial_scale_factor, dtype)
+        run_log = RunLog(cfg.output_path, cfg.code_proj) if log else None
+        return cls(cfg=cfg, state=state, engine=engine, log=run_log)
+
+    @classmethod
+    def from_config(cls, cfg: SimConfig, engine: str = "pm", log: bool = False):
+        """Reference entry path: read the IC named by the parameter file
+        (SnapFormat 2 -> Gadget-2, -2 -> uniform random; initial.c:355-460)."""
+        if cfg.snap_format == -2:
+            from photons_tpu.ics import ic_uniform
+            pos, vel = ic_uniform(cfg)
+            a0 = cfg.initial_scale_factor
+        else:
+            from photons_tpu.io.gadget import read_gadget, read_gadget_header
+            head = read_gadget_header(cfg.input_path)
+            cfg = cfg.replace(
+                boxsize=head.boxsize, omega_m=head.omega_m,
+                omega_x=head.omega_x, hubble=head.hubble,
+                initial_redshift=head.redshift,
+                n_part_total=head.n_total,
+                mass_part=head.mass[1])
+            _, pos, vel = read_gadget(cfg.input_path, cfg.snap_number)
+            a0 = 1.0 / (1.0 + head.redshift)
+        return cls.from_arrays(cfg, pos, vel, engine=engine, a=a0, log=log)
+
+    # -- running -----------------------------------------------------------
+    def compute_forces(self):
+        acc, acc_pm = self._force_jit(self.state.pos)
+        self.state = dataclasses.replace(self.state, acc=acc, acc_pm=acc_pm)
+
+    def run(self, n_steps: Optional[int] = None,
+            a_final: Optional[float] = None,
+            snapshot_times: Optional[Tuple[float, ...]] = None,
+            callback=None):
+        """Run the KDK loop from the current scale factor."""
+        cfg = self.cfg
+        n_steps = n_steps if n_steps is not None else cfg.n_steps
+        a_final = a_final if a_final is not None else cfg.final_scale_factor
+        a0 = float(self.state.a)
+        dk, dd = cosmology.step_factors(a0, a_final, n_steps,
+                                        cfg.omega_m, cfg.omega_x)
+        loga = np.log(a0) + (np.log(a_final) - np.log(a0)) / n_steps \
+            * np.arange(n_steps + 1)
+        a_grid = np.exp(loga)
+
+        snap_left = sorted(snapshot_times or ())
+
+        with self.timers.measure("fmm", self.state.acc):
+            self.compute_forces()
+
+        for i in range(n_steps):
+            t0 = time.perf_counter()
+            self.state = self._step_fn(self.state, float(dk[i]), float(dd[i]),
+                                       float(a_grid[i + 1]))
+            jax.block_until_ready(self.state.pos)
+            dt = time.perf_counter() - t0
+            self.timers.add("step", dt)
+
+            a_now = float(a_grid[i + 1])
+            while snap_left and a_now >= snap_left[0] - 1e-12:
+                self.write_snapshot(snap_left.pop(0))
+            if self.log is not None:
+                self.log.log_step(i, a_now, {**self.timers.snapshot(),
+                                             "step": dt})
+            if callback is not None:
+                callback(i, self)
+        return self.state
+
+    # -- IO ------------------------------------------------------------------
+    def write_snapshot(self, a_tag: Optional[float] = None, shard: int = 0):
+        """Gadget-2 snapshot <Out>/<Name>_<t>.<shard> (snapshot.c:538-549)."""
+        cfg = self.cfg
+        a_now = float(self.state.a)
+        z = 1.0 / a_now - 1.0
+        n = self.state.n
+        head = GadgetHeader(
+            npart=(0, n, 0, 0, 0, 0), npart_total=(0, n, 0, 0, 0, 0),
+            mass=(0.0, cfg.particle_mass, 0.0, 0.0, 0.0, 0.0),
+            time=a_now, redshift=z, boxsize=cfg.boxsize,
+            omega_m=cfg.omega_m, omega_x=cfg.omega_x, hubble=cfg.hubble)
+        tag = a_tag if a_tag is not None else a_now
+        os.makedirs(cfg.output_path, exist_ok=True)
+        path = os.path.join(cfg.output_path,
+                            f"{cfg.output_name}_{tag:.4f}.{shard}")
+        write_gadget(path, head,
+                     np.asarray(self.state.pos), np.asarray(self.state.vel))
+        return path

@@ -1,0 +1,42 @@
+"""Per-step run log, equivalent of the reference's LOG<CodeProj>.TXT.
+
+One row per KDK step: step index, scale factor, load imbalance, phase
+timers, interaction counters (initializeLogfile/LogMessage,
+utility.c:8-48; flushed per step photoNs.c:318)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+
+_COLUMNS = (
+    "step", "a", "imbalance", "pm", "fmm", "p2p_self", "p2p", "p2p_collect",
+    "p2p_transfer", "p2p_update", "m2l", "ext", "step_time",
+    "n_p2p", "n_m2l",
+)
+
+
+class RunLog:
+    def __init__(self, output_path: str, code_proj: str, echo: bool = False):
+        os.makedirs(output_path, exist_ok=True)
+        self.path = os.path.join(output_path, f"LOG{code_proj}.TXT")
+        self.echo = echo
+        with open(self.path, "w") as fh:
+            fh.write("# photoNs-TPU run log\n")
+            fh.write("# " + " ".join(_COLUMNS) + "\n")
+
+    def log_step(self, step: int, a: float, timers: Dict[str, float],
+                 imbalance: float = 0.0, n_p2p: int = 0, n_m2l: int = 0):
+        row = [
+            f"{step:5d}", f"{a:.6f}", f"{imbalance:.4f}",
+            *(f"{timers.get(k, 0.0):.4f}" for k in
+              ("pm", "fmm", "p2p_self", "p2p", "p2p_collect",
+               "p2p_transfer", "p2p_update", "m2l", "ext", "step")),
+            f"{n_p2p}", f"{n_m2l}",
+        ]
+        line = " ".join(row)
+        with open(self.path, "a") as fh:
+            fh.write(line + "\n")
+        if self.echo:
+            print(line, flush=True)

@@ -1,0 +1,104 @@
+"""End-to-end KDK integration tests (PM-only and direct+PM engines)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from photons_tpu import cosmology
+from photons_tpu.config import SimConfig
+from photons_tpu.sim import Simulation
+from photons_tpu.ics import ic_grid
+
+
+def _cfg(**kw):
+    base = dict(boxsize=50.0, n_side=32, n_part_total=512, omega_m=0.25,
+                omega_x=0.75, hubble=0.7, initial_redshift=49.0,
+                dtype="float64", output_path="/tmp/photons_tpu_test")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_momentum_conservation_pm_only():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, cfg.boxsize, (cfg.n_part_total, 3))
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="pm")
+    sim.run(n_steps=5, a_final=cfg.initial_scale_factor * 1.2)
+    ptot = np.asarray(sim.state.vel).sum(axis=0)
+    vrms = np.sqrt((np.asarray(sim.state.vel) ** 2).sum(-1)).mean()
+    assert np.abs(ptot).max() < 1e-8 * max(vrms, 1e-30) * cfg.n_part_total
+
+
+def test_uniform_grid_stays_uniform():
+    """A perfect lattice exerts (almost) no PM force on itself; velocities
+    must stay ~zero over several steps."""
+    cfg = _cfg(n_part_total=8**3)
+    pos, vel = ic_grid(cfg)
+    sim = Simulation.from_arrays(cfg, pos, vel, engine="pm")
+    sim.run(n_steps=3, a_final=cfg.initial_scale_factor * 1.1)
+    # velocity growth scale: dkh * typical_one_particle_force
+    acc_scale = cfg.particle_mass / (cfg.boxsize / 8) ** 2 * cfg.grav_const
+    v = np.abs(np.asarray(sim.state.vel)).max()
+    assert v < 1e-6 * acc_scale
+
+
+def test_zeldovich_linear_growth():
+    """A single plane wave must grow with the linear growth factor D(a).
+
+    Validates PM forces + KDK factors + cosmology end to end: evolve
+    a 16^3 lattice with a small x-displacement wave from a=0.02 to a=0.04
+    and compare the displacement amplitude ratio with D(0.04)/D(0.02).
+    """
+    cfg = _cfg(n_part_total=16**3, n_side=32, boxsize=100.0, dtype="float64")
+    a0, a1 = cfg.initial_scale_factor, 2 * cfg.initial_scale_factor
+    L = cfg.boxsize
+    lattice, _ = ic_grid(cfg)
+
+    # Zel'dovich plane wave: current displacement d0 = A sin(k q_x) x_hat
+    k = 2 * np.pi / L
+    amp = 0.005 * L / 16          # well inside linear regime
+    d0 = np.zeros_like(lattice)
+    d0[:, 0] = amp * np.sin(k * lattice[:, 0])
+    pos = np.mod(lattice + d0, L)
+
+    # growing mode: x = q + D(a)/D(a0) d0; internal velocity u = a^2 xdot
+    # -> u(a0) = a0^2 H(a0) f(a0) d0
+    h0 = cosmology.hubble(a0, cfg.omega_m, cfg.omega_x)
+    om_a = cfg.omega_m / (cfg.omega_m + cfg.omega_x * a0**3)
+    f = om_a**0.55
+    vel = a0**2 * h0 * f * d0
+
+    sim = Simulation.from_arrays(cfg, pos, vel, engine="pm", a=a0)
+    sim.run(n_steps=24, a_final=a1)
+
+    disp = np.asarray(sim.state.pos) - lattice
+    disp -= L * np.round(disp / L)
+    # project onto the wave to get the evolved amplitude
+    basis = np.sin(k * lattice[:, 0])
+    measured = np.mean(disp[:, 0] * basis) / np.mean(basis**2) / amp
+    expected = cosmology.growth_factor(a1, cfg.omega_m, cfg.omega_x,
+                                       normalize_at=a0)
+    assert measured == pytest.approx(expected, rel=0.02)
+
+
+def test_snapshot_written_during_run(tmp_path):
+    cfg = _cfg(output_path=str(tmp_path), output_name="snap")
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, cfg.boxsize, (64, 3))
+    cfg = cfg.replace(n_part_total=64)
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="pm")
+    a_mid = cfg.initial_scale_factor * 1.05
+    sim.run(n_steps=4, a_final=cfg.initial_scale_factor * 1.1,
+            snapshot_times=(a_mid,))
+    files = list(tmp_path.iterdir())
+    assert any(f.name.startswith("snap_") for f in files)
+
+
+def test_direct_engine_runs():
+    cfg = _cfg(n_part_total=128)
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, cfg.boxsize, (128, 3))
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="direct")
+    sim.run(n_steps=2, a_final=cfg.initial_scale_factor * 1.05)
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+    assert float(jnp.abs(sim.state.acc).max()) > 0  # short-range engaged
