@@ -53,9 +53,9 @@ class SimConfig:
     # --- numerics ----------------------------------------------------------
     dtype: str = "float32"              # device dtype for particle state
     # capacity knobs for static-shape traversal (see ops/traversal.py)
-    p2p_neighbor_cap: int = 64          # max P2P source leaves per target leaf
-    m2l_cap_per_node: int = 32          # max M2L sources per target node/level
-    open_cap_per_node: int = 32         # frontier pairs per node per level
+    p2p_neighbor_cap: int = 256         # max P2P source leaves per target leaf
+    m2l_cap_per_node: int = 64          # max M2L sources per target node/level
+    open_cap_per_node: int = 512        # frontier pairs per node per level
 
     # --- parallelism -------------------------------------------------------
     n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)

@@ -1,0 +1,169 @@
+"""FMM short-range force engine: tree build -> traversal -> P2P + M2L ->
+L2L -> L2P, as one jitted computation.
+
+This is the TPU re-architecture of the reference's per-step FMM sequence
+(fmm_prepare -> fmm_task -> fmm_ext, fmm.c:745-1145):
+
+- tree build + upward pass: ``photons_tpu.tree.build`` (fmm_prepare)
+- interaction lists: ``photons_tpu.ops.traversal`` (walk_task_p2p/m2l)
+- M2L: batched kernel evaluation + segment-sum per level (task_compute_m2l,
+  fmm.c:913-945)
+- L2L downward sweep (walk_l2l, operator.c:498-528)
+- L2P per leaf (operator.c:197-251)
+- P2P: selectable backend -- 'jnp' dense reference, or the Pallas kernels
+  in ``photons_tpu.ops.p2p_pallas`` ('indexing' / 'redundant' layouts
+  mirroring the two GPU variants).
+
+Periodic boundary uses minimum-image displacements throughout (exact for
+cutoff < L/2), replacing the reference's 27 ring passes (fmm.c:1083-1106).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from photons_tpu.config import SimConfig
+from photons_tpu.ops import multipoles as mp
+from photons_tpu.ops.kernels import pair_accel
+from photons_tpu.ops.traversal import InteractionLists, dual_tree_traversal
+from photons_tpu.tree.build import Tree, build_tree
+
+
+def _min_image(d, boxsize: Optional[float]):
+    if boxsize is None:
+        return d
+    return d - boxsize * jnp.round(d / boxsize)
+
+
+def apply_m2l(tree: Tree, lists: InteractionLists,
+              split_radius: Optional[float], boxsize: Optional[float]):
+    """Evaluate all M2L pairs, accumulated into per-level local expansions.
+
+    Returns a list of (2^d, 20) local-expansion arrays per depth.
+    """
+    locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
+    for lvl, (pairs, cnt) in enumerate(zip(lists.m2l, lists.m2l_counts)):
+        d = lvl + 1                                  # lists start at depth 1
+        tgt, src = pairs[:, 0], pairs[:, 1]
+        valid = tgt >= 0
+        tgt_c = jnp.where(valid, tgt, 0)
+        src_c = jnp.where(valid, src, 0)
+        centers = tree.centers[d]
+        disp = _min_image(centers[tgt_c] - centers[src_c], boxsize)
+        m_src = jnp.where(valid[:, None], tree.moments[d][src_c], 0.0)
+        # guard the padded rows against r = 0 in the kernel
+        disp = jnp.where(valid[:, None], disp, 1.0)
+        dl = mp.m2l(m_src, disp, split_radius=split_radius)
+        dl = jnp.where(valid[:, None], dl, 0.0)
+        n_nodes = tree.centers[d].shape[0]
+        locals_per_level[d] = locals_per_level[d].at[tgt_c].add(
+            jnp.where(valid[:, None], dl, 0.0))
+    return locals_per_level
+
+
+def downward_l2l(tree: Tree, locals_per_level):
+    """Push local expansions down: child L += shift(parent L) (walk_l2l)."""
+    for d in range(tree.depth):
+        parent_l = locals_per_level[d]               # (2^d, 20)
+        child_c = tree.centers[d + 1].reshape(-1, 2, 3)
+        parent_c = tree.centers[d][:, None, :]
+        disp = child_c - parent_c
+        shifted = mp.l2l(parent_l[:, None, :], disp)  # (2^d, 2, 20)
+        locals_per_level[d + 1] = locals_per_level[d + 1] + \
+            shifted.reshape(-1, mp.NMULTI)
+    return locals_per_level
+
+
+def leaf_l2p(tree: Tree, leaf_locals):
+    """Evaluate leaf local expansions at the particles -> (nleaf, S, 3)."""
+    dx = tree.pos - tree.centers[-1][:, None, :]
+    acc = mp.l2p(leaf_locals, dx)
+    return jnp.where(tree.mask[..., None], acc, 0.0)
+
+
+def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
+            split_radius: Optional[float], boxsize: Optional[float]):
+    """Dense jnp P2P over the pair list -> per-particle acc (nleaf, S, 3).
+
+    Functional reference for the Pallas kernels: gathers both leaf blocks
+    per pair (the 'Redundant' data layout, in XLA), computes the masked
+    S x S interaction tile, and segment-sums per target leaf.
+    """
+    pairs, count = lists.p2p, lists.p2p_count
+    n_leaf, s = tree.pos.shape[:2]
+    tgt, src = pairs[:, 0], pairs[:, 1]
+    valid = tgt >= 0
+    tgt_c = jnp.where(valid, tgt, 0)
+    src_c = jnp.where(valid, src, 0)
+
+    pos_t = tree.pos[tgt_c]                           # (P, S, 3)
+    pos_s = tree.pos[src_c]
+    m_s = jnp.where(tree.mask[src_c] & valid[:, None], mass, 0.0)
+
+    dx = _min_image(pos_s[:, None, :, :] - pos_t[:, :, None, :], boxsize)
+    r2 = jnp.sum(dx * dx, axis=-1)
+    acc_pair = jnp.sum(
+        pair_accel(dx, r2, m_s[:, None, :], eps, split_radius), axis=2)
+
+    seg = jnp.where(valid, tgt_c, n_leaf)
+    acc_leaf = jnp.zeros((n_leaf + 1, s, 3), acc_pair.dtype)
+    acc_leaf = acc_leaf.at[seg].add(acc_pair)
+    return acc_leaf[:n_leaf]
+
+
+def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp"):
+    """Full short-range FMM acceleration in the original particle order.
+
+    Returns (acc (N,3), diag dict of scalars).
+    """
+    n = pos.shape[0]
+    mass = cfg.particle_mass
+    rs = cfg.split_radius if cfg.longshort else None
+    cutoff = cfg.cutoff_radius if cfg.longshort else None
+    box = cfg.boxsize if cfg.periodic else None
+    lo, hi = (0.0, cfg.boxsize)
+
+    tree = build_tree(pos, mass=mass, leaf_size=cfg.leaf_size, lo=lo, hi=hi)
+    lists = dual_tree_traversal(
+        tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
+        open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
+        p2p_cap=cfg.p2p_neighbor_cap,
+        adjacency_eps=1e-9 * cfg.boxsize)
+
+    locals_per_level = apply_m2l(tree, lists, rs, box)
+    locals_per_level = downward_l2l(tree, locals_per_level)
+    acc_leaf = leaf_l2p(tree, locals_per_level[-1])
+
+    if p2p_backend == "jnp":
+        acc_leaf = acc_leaf + p2p_jnp(tree, lists, mass, cfg.soften_scale,
+                                      rs, box)
+    elif p2p_backend in ("indexing", "redundant"):
+        from photons_tpu.ops.p2p_pallas import p2p_pallas
+        acc_leaf = acc_leaf + p2p_pallas(tree, lists, mass, cfg.soften_scale,
+                                         rs, box, layout=p2p_backend)
+    else:
+        raise ValueError(f"unknown p2p backend {p2p_backend!r}")
+
+    # scatter back to the original particle order (perm: sorted -> original)
+    flat = acc_leaf.reshape(-1, 3)
+    acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
+    acc_all = acc_all.at[tree.perm].set(flat)
+    acc = acc_all[:n]
+
+    diag = {
+        "n_p2p": lists.p2p_count,
+        "n_m2l": sum(lists.m2l_counts),
+        "overflow": lists.overflow,
+    }
+    return acc, diag
+
+
+def make_fmm_force_fn(cfg: SimConfig, p2p_backend: str = "jnp"):
+    """Closure over the config; jits inside the caller's step function."""
+    def force_fn(pos):
+        return fmm_forces(pos, cfg, p2p_backend=p2p_backend)
+    return force_fn

@@ -37,7 +37,9 @@ from photons_tpu.state import SimState, make_state, wrap_periodic
 from photons_tpu.utils.logging import RunLog
 from photons_tpu.utils.timers import PhaseTimers
 
-ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+# (pos) -> (acc_short, acc_pm, diag); diag is a dict of scalar diagnostics
+# (interaction counts, traversal-capacity overflow flag)
+ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array, dict]]
 
 
 def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
@@ -56,9 +58,11 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
         return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
                         n_side=cfg.n_side)
 
+    no_diag: dict = {}
+
     if engine == "pm":
         def force_fn(pos):
-            return jnp.zeros_like(pos), pm_fn(pos)
+            return jnp.zeros_like(pos), pm_fn(pos), no_diag
     elif engine == "direct":
         from photons_tpu.ops.direct import direct_forces
 
@@ -68,14 +72,21 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
                 split_radius=cfg.split_radius if cfg.longshort else None,
                 boxsize=cfg.boxsize if cfg.periodic else None,
                 n_images=1 if cfg.periodic else 0)
-            return acc, pm_fn(pos)
-    elif engine == "fmm":
+            return acc, pm_fn(pos), no_diag
+    elif engine.startswith("fmm"):
         from photons_tpu.ops.fmm_engine import make_fmm_force_fn
 
-        fmm_fn = make_fmm_force_fn(cfg)
+        # engine may carry a P2P backend suffix: fmm, fmm-indexing,
+        # fmm-redundant (the two Pallas layouts), fmm-jnp
+        backend = engine.partition("-")[2] or "jnp"
+        fmm_fn = make_fmm_force_fn(cfg, p2p_backend=backend)
+
+        if cfg.pm_only:
+            raise ValueError("pm_only config with an fmm engine")
 
         def force_fn(pos):
-            return fmm_fn(pos), pm_fn(pos)
+            acc, diag = fmm_fn(pos)
+            return acc, pm_fn(pos), diag
     else:
         raise ValueError(f"unknown force engine {engine!r}")
     return force_fn
@@ -88,16 +99,16 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
     periodic = cfg.periodic
 
     @jax.jit
-    def step(state: SimState, dk, dd, a_next) -> SimState:
+    def step(state: SimState, dk, dd, a_next):
         dkh = 0.5 * dk * grav
         vel = state.vel + (state.acc + state.acc_pm) * dkh
         pos = state.pos + vel * dd
         if periodic:
             pos = wrap_periodic(pos, boxsize)
-        acc, acc_pm = force_fn(pos)
+        acc, acc_pm, diag = force_fn(pos)
         vel = vel + (acc + acc_pm) * dkh
         return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
-                        a=jnp.asarray(a_next, state.pos.dtype))
+                        a=jnp.asarray(a_next, state.pos.dtype)), diag
 
     return step
 
@@ -149,9 +160,23 @@ class Simulation:
         return cls.from_arrays(cfg, pos, vel, engine=engine, a=a0, log=log)
 
     # -- running -----------------------------------------------------------
+    last_diag: dict = dataclasses.field(default_factory=dict)
+
     def compute_forces(self):
-        acc, acc_pm = self._force_jit(self.state.pos)
+        acc, acc_pm, diag = self._force_jit(self.state.pos)
         self.state = dataclasses.replace(self.state, acc=acc, acc_pm=acc_pm)
+        self._check_diag(diag)
+
+    def _check_diag(self, diag):
+        if diag:
+            self.last_diag = {k: (int(v) if hasattr(v, "item") else v)
+                              for k, v in diag.items()}
+            if self.last_diag.get("overflow"):
+                raise RuntimeError(
+                    "traversal capacity overflow -- enlarge "
+                    "open_cap_per_node / m2l_cap_per_node / p2p_neighbor_cap "
+                    "(SURVEY.md section 7, 'static shapes for an adaptive "
+                    "structure')")
 
     def run(self, n_steps: Optional[int] = None,
             a_final: Optional[float] = None,
@@ -175,18 +200,21 @@ class Simulation:
 
         for i in range(n_steps):
             t0 = time.perf_counter()
-            self.state = self._step_fn(self.state, float(dk[i]), float(dd[i]),
-                                       float(a_grid[i + 1]))
+            self.state, diag = self._step_fn(
+                self.state, float(dk[i]), float(dd[i]), float(a_grid[i + 1]))
             jax.block_until_ready(self.state.pos)
             dt = time.perf_counter() - t0
             self.timers.add("step", dt)
+            self._check_diag(diag)
 
             a_now = float(a_grid[i + 1])
             while snap_left and a_now >= snap_left[0] - 1e-12:
                 self.write_snapshot(snap_left.pop(0))
             if self.log is not None:
                 self.log.log_step(i, a_now, {**self.timers.snapshot(),
-                                             "step": dt})
+                                             "step": dt},
+                                  n_p2p=self.last_diag.get("n_p2p", 0),
+                                  n_m2l=self.last_diag.get("n_m2l", 0))
             if callback is not None:
                 callback(i, self)
         return self.state

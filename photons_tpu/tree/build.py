@@ -1,0 +1,130 @@
+"""Balanced binary tree over Morton-sorted, fixed-capacity leaf blocks.
+
+TPU-native replacement for the reference's recursive kd-tree
+(build_localtree, fmm.c:176-263): instead of pointer-chasing mean splits,
+particles are Morton-sorted once and chunked into ``leaf_size``-particle
+leaves (the sorted order makes chunks spatially compact, like kd leaves,
+which are also contiguous ranges of a spatial sort).  Above the leaves sits
+a perfect binary tree of depth D = log2(nleaf); every per-level quantity is
+a dense array, so the build is a handful of vectorized reductions -- no
+recursion, fully static shapes, jit-compatible.
+
+Node geometry uses particle AABBs (tighter than the reference's geometric
+split boxes; the MAC remains valid).  Leaf occupancy masks handle the tail
+padding; empty nodes carry count 0 and zero multipoles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from photons_tpu.ops.multipoles import NMULTI, m2m, p2m
+from photons_tpu.tree.morton import morton_sort
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Tree:
+    """Per-level arrays: index 0 = root level (1 node), -1 = leaf level.
+
+    pos      (nleaf, S, 3)  leaf-blocked sorted positions
+    mask     (nleaf, S)     particle validity
+    perm     (nleaf*S,)     sorted-slot -> original-index (>= N for padding)
+    centers  tuple of (2^d, 3)
+    widths   tuple of (2^d, 3)   full AABB extents (reference convention)
+    counts   tuple of (2^d,)     particles per node
+    moments  tuple of (2^d, 20)  multipole expansions about the centers
+    """
+
+    pos: jax.Array
+    mask: jax.Array
+    perm: jax.Array
+    centers: Tuple[jax.Array, ...]
+    widths: Tuple[jax.Array, ...]
+    counts: Tuple[jax.Array, ...]
+    moments: Tuple[jax.Array, ...]
+
+    @property
+    def n_leaf(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def leaf_size(self) -> int:
+        return self.pos.shape[1]
+
+    @property
+    def depth(self) -> int:
+        return len(self.centers) - 1
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "mass", "lo", "hi"))
+def build_tree(pos, mass: float, leaf_size: int, lo: float, hi: float) -> Tree:
+    """Morton sort + leaf blocking + upward (P2M, M2M) pass.
+
+    The upward pass fuses the reference's fmm_prepare sequence: p2m for
+    every leaf (fmm.c:782-783) then walk_m2m (operator.c:165-194), as
+    vmapped batched ops per level.
+    """
+    n = pos.shape[0]
+    n_leaf = _next_pow2(-(-n // leaf_size))
+    n_pad = n_leaf * leaf_size - n
+
+    sorted_pos, perm = morton_sort(pos, lo, hi, n_pad)
+    mask = (jnp.arange(n_leaf * leaf_size) < n)
+
+    leaf_pos = sorted_pos.reshape(n_leaf, leaf_size, 3)
+    leaf_mask = mask.reshape(n_leaf, leaf_size)
+
+    big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+    pmin = jnp.min(jnp.where(leaf_mask[..., None], leaf_pos, big), axis=1)
+    pmax = jnp.max(jnp.where(leaf_mask[..., None], leaf_pos, -big), axis=1)
+    counts_leaf = jnp.sum(leaf_mask, axis=1)
+    nonempty = (counts_leaf > 0)[:, None]
+    center_leaf = jnp.where(nonempty, 0.5 * (pmin + pmax), 0.0)
+    width_leaf = jnp.where(nonempty, pmax - pmin, 0.0)
+
+    masses = jnp.where(leaf_mask, mass, 0.0).astype(pos.dtype)
+    m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
+
+    centers = [center_leaf]
+    widths = [width_leaf]
+    counts = [counts_leaf]
+    moments = [m_leaf]
+    mins, maxs = pmin, pmax
+
+    depth = n_leaf.bit_length() - 1
+    for _ in range(depth):
+        mins2 = mins.reshape(-1, 2, 3)
+        maxs2 = maxs.reshape(-1, 2, 3)
+        cnt2 = counts[0].reshape(-1, 2)
+        ne = (cnt2 > 0)[..., None]
+        mins = jnp.min(jnp.where(ne, mins2, big), axis=1)
+        maxs = jnp.max(jnp.where(ne, maxs2, -big), axis=1)
+        cnt = jnp.sum(cnt2, axis=1)
+        nonempty = (cnt > 0)[:, None]
+        center = jnp.where(nonempty, 0.5 * (mins + maxs), 0.0)
+        width = jnp.where(nonempty, maxs - mins, 0.0)
+
+        child_m = moments[0].reshape(-1, 2, NMULTI)
+        child_c = centers[0].reshape(-1, 2, 3)
+        # shift both children to the parent center and sum (walk_m2m)
+        d = center[:, None, :] - child_c
+        m_parent = jnp.sum(m2m(child_m, d), axis=1)
+
+        centers.insert(0, center)
+        widths.insert(0, width)
+        counts.insert(0, cnt)
+        moments.insert(0, m_parent)
+
+    return Tree(pos=leaf_pos, mask=leaf_mask, perm=perm,
+                centers=tuple(centers), widths=tuple(widths),
+                counts=tuple(counts), moments=tuple(moments))

@@ -1,0 +1,52 @@
+"""Morton (Z-order) keys and spatial sorting.
+
+The reference builds a kd-tree by recursive in-place mean-split partition
+(bksort_inplace, fmm.c:29-77).  On TPU the equivalent spatial-coherence
+primitive is a single vectorized sort by Morton key: contiguous index
+ranges of the sorted array are spatially compact, so fixed-size chunks of
+the sorted order play the role of kd leaves -- with fully static shapes.
+
+Keys are 30-bit (10 bits per axis, int32): grid up to 1024^3 leaf cells,
+ample for the leaf counts involved (leaves = N / leaf_size).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MORTON_BITS = 10  # per axis
+
+
+def _expand_bits(v):
+    """Spread the low 10 bits of v so consecutive bits are 3 apart
+    (standard magic-number bit interleave, int32)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_keys(pos, lo, hi):
+    """int32 Morton keys for positions in the box [lo, hi)^3."""
+    n_cells = 1 << MORTON_BITS
+    scale = n_cells / (hi - lo)
+    q = jnp.clip(((pos - lo) * scale).astype(jnp.int32), 0, n_cells - 1)
+    return (_expand_bits(q[..., 0]) << 2) | (_expand_bits(q[..., 1]) << 1) \
+        | _expand_bits(q[..., 2])
+
+
+def morton_sort(pos, lo, hi, n_pad: int = 0):
+    """Sort positions by Morton key; returns (sorted_pos, perm).
+
+    ``n_pad`` extra slots are appended with key = int32 max so padding sorts
+    to the end (empty tail leaves).
+    """
+    keys = morton_keys(pos, lo, hi)
+    if n_pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((n_pad,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+        pos = jnp.concatenate([pos, jnp.zeros((n_pad, 3), pos.dtype)])
+    perm = jnp.argsort(keys)
+    return pos[perm], perm

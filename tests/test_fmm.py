@@ -1,0 +1,158 @@
+"""FMM engine tests: tree build invariants, traversal completeness, force
+accuracy vs direct sum, and the TreePM (FMM+PM) total force vs the Ewald
+oracle (SURVEY.md section 4, rebuild tests 2-4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from photons_tpu.config import SimConfig
+from photons_tpu.ops.direct import direct_forces, ewald_forces
+from photons_tpu.ops.fmm_engine import fmm_forces
+from photons_tpu.ops.traversal import dual_tree_traversal
+from photons_tpu.tree.build import build_tree
+
+L = 50.0
+
+
+def _cfg(**kw):
+    base = dict(boxsize=L, n_side=32, n_part_total=2048, dtype="float64",
+                leaf_size=16, open_angle=0.4)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _randpos(n, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).uniform(0, L, (n, 3)))
+
+
+# ---------------------------------------------------------------- tree --
+
+def test_tree_mass_and_com():
+    pos = _randpos(777, 1)
+    t = build_tree(pos, mass=2.0, leaf_size=16, lo=0.0, hi=L)
+    # root monopole = total mass, counts sum to N at every level
+    assert float(t.moments[0][0, 0]) == pytest.approx(2.0 * 777, rel=1e-12)
+    for c in t.counts:
+        assert int(jnp.sum(c)) == 777
+    # root dipole/M0 = -(com - center)*M -> com recovery
+    com_ref = np.asarray(pos).mean(axis=0)
+    m_root = np.asarray(t.moments[0][0])
+    c_root = np.asarray(t.centers[0][0])
+    com = c_root - m_root[1:4] / m_root[0]
+    np.testing.assert_allclose(com, com_ref, rtol=1e-10)
+
+
+def test_tree_leaf_blocks_cover_all_particles():
+    pos = _randpos(500, 2)
+    t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+    assert int(t.mask.sum()) == 500
+    # every original particle appears exactly once via perm
+    back = np.full(t.perm.shape[0], -1)
+    back[np.asarray(t.perm)] = np.arange(t.perm.shape[0])
+    assert (back >= 0).all()
+
+
+# ----------------------------------------------------------- traversal --
+
+def test_traversal_covers_every_leaf_pair_exactly_once():
+    """Fundamental FMM invariant: each (target leaf, source leaf) pair is in
+    exactly one of {P2P, M2L(ancestor), discarded}."""
+    pos = _randpos(512, 3)
+    t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+    lists = dual_tree_traversal(t, theta=0.4, cutoff=None, boxsize=None,
+                                open_cap=512, m2l_cap=64, p2p_cap=256)
+    n_leaf = t.n_leaf
+    depth = t.depth
+    cover = np.zeros((n_leaf, n_leaf), np.int32)
+
+    p2p = np.asarray(lists.p2p)
+    for a, b in p2p[p2p[:, 0] >= 0]:
+        cover[a, b] += 1
+    for lvl, pairs in enumerate(lists.m2l):
+        d = lvl + 1
+        span = n_leaf >> d                     # leaves under a depth-d node
+        arr = np.asarray(pairs)
+        for a, b in arr[arr[:, 0] >= 0]:
+            cover[a * span:(a + 1) * span, b * span:(b + 1) * span] += 1
+    # no cutoff -> nothing discarded: every nonempty pair covered once
+    counts = np.asarray(t.counts[-1])
+    ok = np.outer(counts > 0, counts > 0)
+    assert (cover[ok] == 1).all()
+    assert (cover[~ok] == 0).all()
+
+
+def test_traversal_overflow_flag():
+    pos = _randpos(2048, 4)
+    t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+    tiny = dual_tree_traversal(t, theta=0.4, cutoff=None, boxsize=None,
+                               open_cap=2, m2l_cap=2, p2p_cap=2)
+    assert bool(tiny.overflow)
+
+
+# -------------------------------------------------------------- forces --
+
+def test_fmm_periodic_vs_direct_damped():
+    """Short-range FMM force (min-image periodic, erfc damping) vs the
+    damped direct image sum: < 1e-3 rms (BASELINE.md budget)."""
+    cfg = _cfg(n_part_total=2048)
+    pos = _randpos(2048, 5)
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    assert not bool(diag["overflow"])
+    ref = direct_forces(pos, mass=cfg.particle_mass, eps=cfg.soften_scale,
+                        split_radius=cfg.split_radius, boxsize=L, n_images=1)
+    rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
+    err = np.sqrt(((np.asarray(acc) - np.asarray(ref)) ** 2).sum(-1))
+    assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+    assert err.max() / rms < 5e-3
+
+
+def test_fmm_open_boundary_newtonian_with_m2l():
+    """Open-boundary merger-style config: M2L must fire and the total must
+    match the Newtonian direct sum."""
+    cfg = _cfg(longshort=False, periodic=False, n_part_total=2048)
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(1024, 3)) * 2.0 + np.array([15.0, 25.0, 25.0])
+    b = rng.normal(size=(1024, 3)) * 2.0 + np.array([35.0, 25.0, 25.0])
+    pos = jnp.asarray(np.clip(np.concatenate([a, b]), 0.1, L - 0.1))
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    assert int(diag["n_m2l"]) > 0
+    ref = direct_forces(pos, mass=cfg.particle_mass, eps=cfg.soften_scale)
+    rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
+    err = np.sqrt(((np.asarray(acc) - np.asarray(ref)) ** 2).sum(-1))
+    assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+
+
+def test_treepm_total_force_vs_ewald():
+    """The headline accuracy target: FMM short + PM long total force vs the
+    exact periodic Ewald sum, < 1e-3 RMS (BASELINE.md)."""
+    from photons_tpu.pm import green_function, pm_accel
+
+    # accuracy configuration: split radius from a 32-cell grid but the PM
+    # mesh refined 2x (rs = 2.5 mesh cells) -- the PM aliasing error drops
+    # below 5e-4 there (see test_pm_error_converges_with_resolution)
+    cfg = _cfg(n_part_total=1024, n_side=64, split_scale=1.25 * L / 32)
+    pos = _randpos(1024, 7)
+    m, eps, rs = cfg.particle_mass, cfg.soften_scale, cfg.split_radius
+
+    acc_s, diag = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    assert not bool(diag["overflow"])
+    gf = green_function(cfg.n_side, L, rs, dtype=jnp.float64)
+    acc_pm = pm_accel(pos, gf, mass=m, boxsize=L, n_side=cfg.n_side)
+    total = np.asarray(acc_s) + np.asarray(acc_pm)
+
+    exact = ewald_forces(np.asarray(pos), m, L, rs, eps, n_images=2, k_max=40)
+    rms = np.sqrt((exact ** 2).sum(-1).mean())
+    err = np.sqrt(((total - exact) ** 2).sum(-1))
+    assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+
+
+def test_fmm_momentum_conservation():
+    cfg = _cfg(n_part_total=1024)
+    pos = _randpos(1024, 8)
+    acc, _ = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    # P2P is exactly antisymmetric; M2L/discard asymmetries are bounded by
+    # the truncation error scale
+    rms = float(jnp.sqrt((acc ** 2).sum(-1)).mean())
+    assert np.abs(np.asarray(acc).sum(0)).max() < 1e-3 * rms * 1024
