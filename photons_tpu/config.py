@@ -60,6 +60,8 @@ class SimConfig:
     # --- parallelism -------------------------------------------------------
     n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)
     shard_capacity_factor: float = 2.0  # per-shard particle padding factor
+    ghost_cap_factor: float = 1.0       # ghost buffer size / shard capacity
+    send_cap_factor: float = 0.5        # migration buffer size / capacity
 
     # --- IO ---------------------------------------------------------------
     code_proj: str = "demo"

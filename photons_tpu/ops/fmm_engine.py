@@ -115,8 +115,11 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
     return acc_leaf[:n_leaf]
 
 
-def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp"):
+def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
     """Full short-range FMM acceleration in the original particle order.
+
+    ``valid``: optional liveness mask (capacity-padded sharded inputs);
+    invalid slots contribute no mass and get zero acceleration.
 
     Returns (acc (N,3), diag dict of scalars).
     """
@@ -127,7 +130,8 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp"):
     box = cfg.boxsize if cfg.periodic else None
     lo, hi = (0.0, cfg.boxsize)
 
-    tree = build_tree(pos, mass=mass, leaf_size=cfg.leaf_size, lo=lo, hi=hi)
+    tree = build_tree(pos, mass=mass, leaf_size=cfg.leaf_size, lo=lo, hi=hi,
+                      valid=valid)
     lists = dual_tree_traversal(
         tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
         open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
@@ -138,18 +142,22 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp"):
     locals_per_level = downward_l2l(tree, locals_per_level)
     acc_leaf = leaf_l2p(tree, locals_per_level[-1])
 
+    nbr_overflow = jnp.asarray(False)
     if p2p_backend == "jnp":
         acc_leaf = acc_leaf + p2p_jnp(tree, lists, mass, cfg.soften_scale,
                                       rs, box)
     elif p2p_backend in ("indexing", "redundant"):
         from photons_tpu.ops.p2p_pallas import p2p_pallas
-        acc_leaf = acc_leaf + p2p_pallas(tree, lists, mass, cfg.soften_scale,
-                                         rs, box, layout=p2p_backend)
+        acc_p2p, nbr_overflow = p2p_pallas(tree, lists, mass,
+                                           cfg.soften_scale, rs, box,
+                                           layout=p2p_backend)
+        acc_leaf = acc_leaf + acc_p2p
     else:
         raise ValueError(f"unknown p2p backend {p2p_backend!r}")
 
-    # scatter back to the original particle order (perm: sorted -> original)
-    flat = acc_leaf.reshape(-1, 3)
+    # scatter back to the original particle order (perm: sorted -> original);
+    # mask so invalid (padding) slots always carry zero acceleration
+    flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
     acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
     acc_all = acc_all.at[tree.perm].set(flat)
     acc = acc_all[:n]
@@ -157,7 +165,7 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp"):
     diag = {
         "n_p2p": lists.p2p_count,
         "n_m2l": sum(lists.m2l_counts),
-        "overflow": lists.overflow,
+        "overflow": lists.overflow | nbr_overflow,
     }
     return acc, diag
 

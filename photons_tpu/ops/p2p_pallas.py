@@ -1,0 +1,245 @@
+"""Pallas TPU P2P kernels -- the near-field pair-interaction hot loop.
+
+Two selectable data layouts, re-creating the reference's two GPU variants
+(the subject of the redundancy study, arXiv:2403.01596) as TPU kernels:
+
+- **redundant** (mirrors ComputeP2PDualNaive/SelfInteractions,
+  ``2_Redundant/src/photoNs_CUDA.cu:225-466``): every target leaf's
+  neighbor particles are pre-gathered (duplicated) into a dense
+  (nleaf, 3, K*S) source stream by one XLA gather -- the kernel streams
+  fully coalesced (S, 128) tiles with **zero indirection**, trading K-fold
+  memory redundancy for pure sequential HBM traffic.
+
+- **indexing** (mirrors ComputeP2PIndexing,
+  ``1_Indexing/src/photoNs_CUDA.cu:250-387``): particle planes live once
+  in HBM; the kernel reads the scalar-prefetched neighbor table and
+  DMA-gathers each (3, S) source block on the fly, double-buffered so the
+  gather latency hides behind compute -- **no memory redundancy**.
+
+Both consume the per-target-leaf neighbor table built from the traversal's
+P2P pair list; accumulation happens in VMEM across the stream (the
+reference instead wrote per-task results and scatter-added on the host,
+fmm.c:893-908 -- on TPU the revisited output block IS the accumulator).
+
+Physics: softened Newtonian with the Ewald short-range damping g(r)
+(see ops/kernels.py; applied here unlike the reference GPU kernels --
+SURVEY.md quirk 2.6-2), minimum-image periodic displacements, self and
+padded pairs masked by r2 > 0 / zero mass.
+
+Layout notes (TPU tiling): positions are stored as coordinate *planes*
+(..., 3, S) so interaction tiles are (S_targets, 128_sources) -- full VPU
+lanes.  S = leaf_size; the source stream is chunked in 128-particle lanes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+LANES = 128
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _erfc_exp(x):
+    """(erfc(x), exp(-x^2)) via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7).
+
+    Mosaic has no erf/erfc primitive; this rational form costs one exp +
+    a fused polynomial on the VPU and shares the Gaussian with the damping
+    term -- faster than a libm-grade erfc even where one exists.
+    """
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    e = jnp.exp(-x * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * e, e
+
+
+def _pair_force_tile(tx, ty, tz, sx, sy, sz, sm, eps, rs, boxsize):
+    """(S, C) interaction tile: returns (ax, ay, az) each (S,).
+
+    tx/ty/tz (S,); sx/sy/sz/sm (C,).  Lanes = C sources.
+    """
+    dx = sx[None, :] - tx[:, None]
+    dy = sy[None, :] - ty[:, None]
+    dz = sz[None, :] - tz[:, None]
+    if boxsize is not None:
+        dx = dx - boxsize * jnp.round(dx * (1.0 / boxsize))
+        dy = dy - boxsize * jnp.round(dy * (1.0 / boxsize))
+        dz = dz - boxsize * jnp.round(dz * (1.0 / boxsize))
+    r2 = dx * dx + dy * dy + dz * dz
+    r = jnp.sqrt(r2)
+    r_soft = jnp.maximum(r, eps)
+    inv_r3 = 1.0 / (r_soft * r_soft * r_soft)
+    if rs is not None:
+        ec, e = _erfc_exp((0.5 / rs) * r)
+        inv_r3 = inv_r3 * (ec + (r * (_INV_SQRT_PI / rs)) * e)
+    f = jnp.where(r2 > 0, sm[None, :] * inv_r3, 0.0)
+    return (jnp.sum(f * dx, axis=1), jnp.sum(f * dy, axis=1),
+            jnp.sum(f * dz, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# neighbor table from the traversal pair list
+# ---------------------------------------------------------------------------
+
+def neighbor_table(pairs, n_leaf: int, cap: int):
+    """(P, 2) padded pair list -> per-target table (n_leaf, cap), -1 padded.
+
+    Also returns an overflow flag (any leaf with more than ``cap``
+    partners).  This is the analogue of the reference's per-leaf
+    maxNeighbors=1000 assumption (fmm.c:774).
+    """
+    tgt, src = pairs[:, 0], pairs[:, 1]
+    valid = tgt >= 0
+    tgt_c = jnp.where(valid, tgt, n_leaf)
+    order = jnp.argsort(tgt_c, stable=True)
+    tgt_s = tgt_c[order]
+    src_s = jnp.where(valid, src, -1)[order]
+    start = jnp.searchsorted(tgt_s, tgt_s, side="left")
+    slot = jnp.arange(tgt_s.shape[0]) - start
+    table = jnp.full((n_leaf + 1, cap), -1, jnp.int32)
+    table = table.at[tgt_s, jnp.minimum(slot, cap - 1)].set(
+        jnp.where(slot < cap, src_s, -1), mode="drop")
+    counts = jnp.bincount(jnp.where(valid, tgt_c, n_leaf), length=n_leaf + 1)
+    overflow = jnp.max(counts[:n_leaf]) > cap
+    return table[:n_leaf], overflow
+
+
+# ---------------------------------------------------------------------------
+# redundant layout
+# ---------------------------------------------------------------------------
+
+def pack_redundant(planes, masses, table, leaf_size: int):
+    """Gather the packed per-target source stream (the 'collect' phase,
+    2_Redundant/src/remotes.c:64-97 done as one XLA gather).
+
+    planes (nleaf, 3, S), masses (nleaf, S), table (nleaf, K) ->
+    src_planes (nleaf, 3, K*S), src_mass (nleaf, K*S), K*S padded to LANES.
+    """
+    n_leaf, k = table.shape
+    s = leaf_size
+    safe = jnp.where(table >= 0, table, 0)
+    src_p = planes[safe]                                # (nleaf, K, 3, S)
+    src_m = jnp.where((table >= 0)[..., None], masses[safe], 0.0)
+    src_p = jnp.moveaxis(src_p, 2, 1).reshape(n_leaf, 3, k * s)
+    src_m = src_m.reshape(n_leaf, 1, k * s)
+    ks_pad = -(-k * s // LANES) * LANES - k * s
+    if ks_pad:
+        src_p = jnp.pad(src_p, ((0, 0), (0, 0), (0, ks_pad)))
+        src_m = jnp.pad(src_m, ((0, 0), (0, 0), (0, ks_pad)))
+    return src_p, src_m
+
+
+def _redundant_kernel(tgt_ref, src_ref, sm_ref, out_ref, *, eps, rs, boxsize):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    tx, ty, tz = tgt_ref[0, 0, :], tgt_ref[0, 1, :], tgt_ref[0, 2, :]
+    sx, sy, sz = src_ref[0, 0, :], src_ref[0, 1, :], src_ref[0, 2, :]
+    ax, ay, az = _pair_force_tile(tx, ty, tz, sx, sy, sz, sm_ref[0, 0, :],
+                                  eps, rs, boxsize)
+    out_ref[0, 0, :] += ax
+    out_ref[0, 1, :] += ay
+    out_ref[0, 2, :] += az
+
+
+def p2p_redundant(planes, masses, src_planes, src_mass, *, eps: float,
+                  rs: Optional[float], boxsize: Optional[float],
+                  interpret: Optional[bool] = None):
+    """Streaming kernel over the pre-packed source stream.
+
+    planes (nleaf, 3, S); src_planes (nleaf, 3, KS); returns (nleaf, 3, S).
+    """
+    n_leaf, _, s = planes.shape
+    ks = src_planes.shape[-1]
+    chunk = LANES
+    grid = (n_leaf, ks // chunk)
+    kernel = partial(_redundant_kernel, eps=eps, rs=rs, boxsize=boxsize)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, s), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, chunk), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, s), lambda i, k: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_leaf, 3, s), planes.dtype),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(planes, src_planes, src_mass)
+
+
+# ---------------------------------------------------------------------------
+# indexing layout (kernel in p2p_pallas_indexing.py)
+# ---------------------------------------------------------------------------
+
+def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
+                 boxsize: Optional[float], interpret: Optional[bool] = None):
+    """Gather-through-the-index kernel: source blocks DMA'd from HBM inside
+    the kernel through the neighbor table (no data duplication).
+
+    planes (nleaf, 3, S), masses (nleaf, S), table (nleaf, K) ->
+    (nleaf, 3, S) accelerations.
+    """
+    from photons_tpu.ops.p2p_pallas_indexing import (
+        p2p_indexing_rows, pack_combined_rows)
+
+    n_leaf, _, s = planes.shape
+    combined = pack_combined_rows(planes, masses)
+    rows = p2p_indexing_rows(
+        combined, table, s, eps=eps, rs=rs, boxsize=boxsize,
+        pair_tile=_pair_force_tile,
+        interpret=_interpret_default() if interpret is None else interpret)
+    return rows[:, :3 * s].reshape(n_leaf, 3, s)
+
+
+# ---------------------------------------------------------------------------
+# engine entry
+# ---------------------------------------------------------------------------
+
+def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
+               boxsize: Optional[float], layout: str = "redundant",
+               neighbor_cap: Optional[int] = None,
+               interpret: Optional[bool] = None):
+    """P2P via a Pallas kernel -> per-particle acc (nleaf, S, 3).
+
+    Drop-in replacement for ops.fmm_engine.p2p_jnp.
+    """
+    n_leaf, s = tree.pos.shape[:2]
+    # per-leaf counts are skewed (clustering): give the table 2x the mean
+    # capacity and surface truncation as an overflow flag
+    cap = neighbor_cap or max(32, 2 * (lists.p2p.shape[0] // n_leaf))
+    cap = -(-cap // LANES) * LANES      # lane-aligned rows (DMA granularity)
+    table, overflow = neighbor_table(lists.p2p, n_leaf, cap)
+
+    planes = jnp.moveaxis(tree.pos, -1, 1)              # (nleaf, 3, S)
+    masses = jnp.where(tree.mask, mass, 0.0).astype(tree.pos.dtype)
+
+    if layout == "redundant":
+        src_planes, src_mass = pack_redundant(planes, masses, table, s)
+        acc = p2p_redundant(planes, masses, src_planes, src_mass,
+                            eps=eps, rs=rs, boxsize=boxsize,
+                            interpret=interpret)
+    elif layout == "indexing":
+        acc = p2p_indexing(planes, masses, table, eps=eps, rs=rs,
+                           boxsize=boxsize, interpret=interpret)
+    else:
+        raise ValueError(f"unknown P2P layout {layout!r}")
+    return jnp.moveaxis(acc, 1, -1), overflow           # (nleaf, S, 3)

@@ -1,0 +1,131 @@
+"""'Indexing' P2P layout: in-kernel gather through the neighbor table.
+
+TPU re-creation of ``ComputeP2PIndexing``
+(``1_Indexing/src/photoNs_CUDA.cu:250-387``): particle data lives ONCE in
+HBM; each kernel program walks its target leaf's neighbor list and gathers
+source blocks through the index at compute time -- **no data duplication**
+(the memory-redundancy-free side of the arXiv:2403.01596 tradeoff).
+
+Scalability note: the neighbor table is O(total tasks) and therefore kept
+in HBM, NOT scalar-prefetched (SMEM is ~1 MB; a 256^3 run's table is tens
+of MB).  Each program first DMAs its own table row HBM -> SMEM scratch,
+then runs a double-buffered gather loop of combined [x | y | z | m] rows
+(HBM -> VMEM, one 512-byte aligned DMA per neighbor leaf), computing the
+(S x S) interaction tile while the next block is in flight.
+
+Data layout: ``combined`` (n_leaf, W) float rows with W = ceil(4*S/128)*128
+-- x in [0,S), y in [S,2S), z in [2S,3S), mass in [3S,4S), zero padding to
+the lane boundary.  Row slices of a 2-D array are the supported
+HBM-DMA-granule pattern (3-D sub-lane slices are not lowerable).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _row_width(s: int) -> int:
+    return -(-4 * s // LANES) * LANES
+
+
+def pack_combined_rows(planes, masses):
+    """(nleaf, 3, S) + (nleaf, S) -> (nleaf, W) [x|y|z|m] rows."""
+    n_leaf, _, s = planes.shape
+    w = _row_width(s)
+    flat = jnp.concatenate([planes.reshape(n_leaf, 3 * s), masses], axis=1)
+    return jnp.pad(flat, ((0, 0), (0, w - 4 * s)))
+
+
+def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
+                     row_smem, src_buf, sems, tsem, *,
+                     eps, rs, boxsize, s, pair_tile):
+    i = pl.program_id(0)
+    count = cnt_ref[i]
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)  # (1, 1, W)
+
+    # own neighbor-table row page (1, K): HBM -> SMEM
+    trow = pltpu.make_async_copy(table_hbm.at[i], row_smem, tsem)
+    trow.start()
+    trow.wait()
+
+    def fetch(slot, k):
+        return pltpu.make_async_copy(
+            combined_hbm.at[row_smem[0, k]], src_buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        fetch(0, 0).start()
+        tx = tgt_ref[0, 0, 0:s]
+        ty = tgt_ref[0, 0, s:2 * s]
+        tz = tgt_ref[0, 0, 2 * s:3 * s]
+
+        def body(k, acc):
+            slot = k % 2
+
+            @pl.when(k + 1 < count)
+            def _():
+                fetch((k + 1) % 2, k + 1).start()
+
+            fetch(slot, k).wait()
+            ax, ay, az = pair_tile(
+                tx, ty, tz,
+                src_buf[slot, 0, 0:s], src_buf[slot, 0, s:2 * s],
+                src_buf[slot, 0, 2 * s:3 * s], src_buf[slot, 0, 3 * s:4 * s],
+                eps, rs, boxsize)
+            return (acc[0] + ax, acc[1] + ay, acc[2] + az)
+
+        zero = jnp.zeros((s,), tgt_ref.dtype)
+        acc = jax.lax.fori_loop(0, count, body, (zero, zero, zero))
+        out_ref[0, 0, 0:s] = acc[0]
+        out_ref[0, 0, s:2 * s] = acc[1]
+        out_ref[0, 0, 2 * s:3 * s] = acc[2]
+
+
+def p2p_indexing_rows(combined, table, s: int, *, eps: float,
+                      rs: Optional[float], boxsize: Optional[float],
+                      pair_tile, interpret: bool):
+    """Run the indexing kernel; returns acc rows (nleaf, W) [ax|ay|az|0]."""
+    n_leaf, w = combined.shape
+    k_cap = table.shape[1]
+    counts = jnp.sum(table >= 0, axis=1).astype(jnp.int32)
+    safe_table = jnp.where(table >= 0, table, 0)
+
+    kernel = partial(_indexing_kernel, eps=eps, rs=rs, boxsize=boxsize,
+                     s=s, pair_tile=pair_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # counts only (n_leaf ints)
+        grid=(n_leaf,),
+        in_specs=[
+            # rows wrapped as (nleaf, 1, W) pages: (1, 1, W) blocks satisfy
+            # the (sublane, lane) tiling rule via dim equality
+            pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # neighbor table
+            pl.BlockSpec(memory_space=pltpu.HBM),  # combined particle rows
+        ],
+        out_specs=pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((1, k_cap), jnp.int32),     # own table-row page
+            pltpu.VMEM((2, 1, w), combined.dtype),  # double-buffered source
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_leaf, 1, w), combined.dtype),
+        interpret=interpret,
+    )(counts, combined[:, None, :], safe_table[:, None, :],
+      combined[:, None, :])
+    return out[:, 0, :]

@@ -1,0 +1,298 @@
+"""Multi-chip KDK step: SPMD over a 1-D device mesh (spatial slabs).
+
+This is the reference's per-step distributed sequence (photoNs.c:146-339)
+re-architected for the ICI mesh:
+
+  kick/drift (elementwise, sharded)
+  -> migrate particles to their slab owners       (domains.c Alltoallv)
+  -> ghost halo exchange over the ring            (fmm_remote ring)
+  -> per-shard tree + traversal + P2P + M2L + L2L + L2P
+  -> slab-painted density -> pencil FFT Poisson   (partmesh + 2DECOMP)
+  -> all_gather potential, gradient + CIC readout
+  -> closing kick
+
+The whole step is ONE jitted function over sharded arrays; every collective
+(`all_to_all`, `ppermute`, `psum`, `all_gather`) rides the mesh axis.
+Per-step load rebalancing moves the slab boundaries toward equal measured
+cost (idxP2P+idxM2L metric, fmm.c:1139; relaxation 0.3, domains.c:86-144).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from photons_tpu.config import SimConfig
+from photons_tpu.ops.fmm_engine import fmm_forces
+from photons_tpu.parallel.fft import green_function_yslice, pencil_poisson
+from photons_tpu.parallel.halo import gather_ghosts
+from photons_tpu.parallel.migrate import migrate
+from photons_tpu.pm.mesh import cic_paint, cic_read_vector
+from photons_tpu.pm.solver import gradient_4th
+
+AXIS = "x"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedState:
+    """Capacity-padded particle state, sharded on the leading axis.
+
+    pos/vel/acc/acc_pm: (D*cap, 3); valid: (D*cap,); bounds: (D+1,) slab
+    boundaries (replicated); a: scale factor."""
+
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+    acc_pm: jax.Array
+    valid: jax.Array
+    bounds: jax.Array
+    a: jax.Array
+
+
+def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
+    """Distribute global particle arrays into slab-owned padded shards."""
+    d = mesh.devices.size
+    dtype = jnp.dtype(cfg.dtype)
+    n = pos.shape[0]
+    cap = int(np.ceil(n / d * cfg.shard_capacity_factor))
+    bounds = np.linspace(0.0, cfg.boxsize, d + 1)
+
+    pos = np.asarray(pos)
+    vel = np.asarray(vel)
+    owner = np.clip(np.searchsorted(bounds[1:d], pos[:, 0], side="right"),
+                    0, d - 1)
+    pos_p = np.zeros((d * cap, 3), dtype)
+    vel_p = np.zeros((d * cap, 3), dtype)
+    val_p = np.zeros((d * cap,), bool)
+    for i in range(d):
+        sel = owner == i
+        k = int(sel.sum())
+        if k > cap:
+            raise ValueError(f"shard {i} overflows capacity {cap} ({k})")
+        pos_p[i * cap:i * cap + k] = pos[sel]
+        vel_p[i * cap:i * cap + k] = vel[sel]
+        val_p[i * cap:i * cap + k] = True
+
+    shard = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    return ShardedState(
+        pos=jax.device_put(jnp.asarray(pos_p), shard),
+        vel=jax.device_put(jnp.asarray(vel_p), shard),
+        acc=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
+        acc_pm=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
+        valid=jax.device_put(jnp.asarray(val_p), shard),
+        bounds=jax.device_put(jnp.asarray(bounds, dtype), rep),
+        a=jax.device_put(jnp.asarray(a, dtype), rep),
+    )
+
+
+def gather_state(state: ShardedState):
+    """Collect valid particles back to host order (for IO/diagnostics)."""
+    valid = np.asarray(state.valid)
+    return (np.asarray(state.pos)[valid], np.asarray(state.vel)[valid],
+            float(state.a))
+
+
+def rebalance_bounds(bounds, cost, relax: float = 0.3):
+    """Move slab boundaries toward equal cumulative cost.
+
+    cost: (D,) measured per-shard cost (idxP2P+idxM2L analogue).  Inverse
+    interpolation of the cumulative cost, relaxed by 0.3 like the
+    reference's split-shift (domains.c:86-144)."""
+    d = cost.shape[0]
+    cum = jnp.concatenate([jnp.zeros((1,), cost.dtype), jnp.cumsum(cost)])
+    total = cum[-1]
+    targets = total * jnp.arange(1, d) / d
+    # invert piecewise-linear cum(bounds) at the targets
+    seg = jnp.clip(jnp.searchsorted(cum, targets, side="right") - 1, 0, d - 1)
+    frac = (targets - cum[seg]) / jnp.maximum(cum[seg + 1] - cum[seg], 1e-30)
+    ideal = bounds[seg] + frac * (bounds[seg + 1] - bounds[seg])
+    new_inner = bounds[1:d] + relax * (ideal - bounds[1:d])
+    # keep boundaries ordered with a minimal slab width
+    new_inner = jnp.sort(new_inner)
+    return jnp.concatenate([bounds[:1], new_inner, bounds[d:]])
+
+
+def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
+                 p2p_backend: str, n_hops: int, ghost_cap: int):
+    """Per-shard short-range + PM forces (runs inside shard_map)."""
+    cap = pos.shape[0]
+    box = cfg.boxsize
+    dtype = pos.dtype
+    d = lax.axis_size(AXIS)
+    n_side = cfg.n_side
+    nx_loc = n_side // d
+    me = lax.axis_index(AXIS)
+
+    # ---- short range: ghosts + local FMM -------------------------------
+    gpos, gval, g_ovf, halo_bad = gather_ghosts(
+        pos, valid, bounds, cfg.cutoff_radius, box, ghost_cap, n_hops, AXIS)
+    pos_all = jnp.concatenate([pos, gpos])
+    val_all = jnp.concatenate([valid, gval])
+    acc_all, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
+                               valid=val_all)
+    acc = acc_all[:cap]
+
+    # ---- long range: slab paint -> pencil FFT -> gathered readout ------
+    mesh_full = cic_paint(jnp.where(valid[:, None], pos, 0.0), box, n_side,
+                          weights=valid.astype(dtype))
+    mesh_full = mesh_full * (cfg.particle_mass * (n_side / box) ** 3)
+    # reduce the full local paint into slab ownership
+    slab = lax.psum_scatter(
+        mesh_full.reshape(d, nx_loc, n_side, n_side), AXIS,
+        scatter_dimension=0, tiled=False)
+    phi_slab = pencil_poisson(slab, gf_local, AXIS)
+    phi = lax.all_gather(phi_slab, AXIS, axis=0, tiled=True)  # (n, n, n)
+    grad = gradient_4th(phi, box)
+    acc_pm = cic_read_vector(grad, pos, box, n_side)
+    acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
+
+    # ---- diagnostics (replicated scalars) -------------------------------
+    my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
+    cost = lax.all_gather(my_cost, AXIS)                   # (D,)
+    diag_out = {
+        "n_p2p": lax.psum(diag["n_p2p"], AXIS),
+        "n_m2l": lax.psum(diag["n_m2l"], AXIS),
+        "overflow": lax.pmax(
+            (diag["overflow"] | g_ovf | halo_bad).astype(jnp.int32), AXIS),
+        "cost": cost,
+    }
+    return acc, acc_pm, diag_out
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
+                      rebalance: bool = True):
+    """Build the jitted multi-chip KDK step function."""
+    d = mesh.devices.size
+    if cfg.n_side % d:
+        raise ValueError("n_side must be divisible by the mesh size")
+    dtype = jnp.dtype(cfg.dtype)
+    grav = cfg.grav_const
+    box = cfg.boxsize
+
+    # hop count from the *uniform* slab width with margin for rebalancing
+    slab = box / d
+    n_hops = min(d - 1, max(1, int(np.ceil(cfg.cutoff_radius / slab)) + 1)) \
+        if d > 1 else 0
+
+    gf_full = green_function_yslice(cfg.n_side, box, cfg.split_radius, dtype)
+
+    shard = P(AXIS)
+    rep = P()
+
+    def body(pos, vel, acc, acc_pm, valid, bounds, gf_local, dk, dd, a_next):
+        cap = pos.shape[0]
+        ghost_cap = int(cap * cfg.ghost_cap_factor)
+        dkh = 0.5 * dk * grav
+
+        vel = vel + (acc + acc_pm) * dkh
+        pos = jnp.where(valid[:, None], jnp.mod(pos + vel * dd, box), pos)
+
+        (pos, vel), valid, mig_ovf = migrate(
+            (pos, vel), valid, bounds,
+            send_cap=int(cap * cfg.send_cap_factor), axis=AXIS)
+
+        acc, acc_pm, diag = _force_shard(
+            pos, valid, bounds, gf_local, cfg, p2p_backend, n_hops, ghost_cap)
+        vel = vel + (acc + acc_pm) * dkh
+
+        if rebalance:
+            new_bounds = rebalance_bounds(bounds, diag["cost"]).astype(dtype)
+        else:
+            new_bounds = bounds
+        diag = dict(diag)
+        diag["overflow"] = diag["overflow"] | mig_ovf.astype(jnp.int32)
+        return pos, vel, acc, acc_pm, valid, new_bounds, diag
+
+    smapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard, rep, P(None, AXIS, None),
+                  rep, rep, rep),
+        out_specs=(shard, shard, shard, shard, shard, rep,
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
+        check_rep=False)
+
+    @jax.jit
+    def step(state: ShardedState, dk, dd, a_next):
+        pos, vel, acc, acc_pm, valid, bounds, diag = smapped(
+            state.pos, state.vel, state.acc, state.acc_pm, state.valid,
+            state.bounds, gf_full,
+            jnp.asarray(dk, dtype), jnp.asarray(dd, dtype),
+            jnp.asarray(a_next, dtype))
+        return ShardedState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                            valid=valid, bounds=bounds,
+                            a=jnp.asarray(a_next, dtype)), diag
+
+    # initial force computation (before the first kick, photoNs.c:95-132)
+    forces_mapped = shard_map(
+        lambda pos, valid, bounds, gf_local: _force_shard(
+            pos, valid, bounds, gf_local, cfg, p2p_backend, n_hops,
+            int(pos.shape[0] * cfg.ghost_cap_factor)),
+        mesh=mesh,
+        in_specs=(shard, shard, rep, P(None, AXIS, None)),
+        out_specs=(shard, shard,
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
+        check_rep=False)
+
+    @jax.jit
+    def initial_forces(state: ShardedState):
+        acc, acc_pm, diag = forces_mapped(state.pos, state.valid,
+                                          state.bounds, gf_full)
+        return dataclasses.replace(state, acc=acc, acc_pm=acc_pm), diag
+
+    return step, initial_forces
+
+
+@dataclasses.dataclass
+class ShardedSimulation:
+    """Multi-chip driver: owns the mesh, sharded state, and the step fn."""
+
+    cfg: SimConfig
+    mesh: Mesh
+    state: ShardedState
+    p2p_backend: str = "jnp"
+
+    def __post_init__(self):
+        self._step, self._init_forces = make_sharded_step(
+            self.cfg, self.mesh, self.p2p_backend)
+
+    @classmethod
+    def from_arrays(cls, cfg: SimConfig, mesh: Mesh, pos, vel,
+                    a: Optional[float] = None, p2p_backend: str = "jnp"):
+        state = make_sharded_state(cfg, mesh, pos, vel,
+                                   a if a is not None
+                                   else cfg.initial_scale_factor)
+        return cls(cfg=cfg, mesh=mesh, state=state, p2p_backend=p2p_backend)
+
+    def run(self, n_steps: int, a_final: float):
+        from photons_tpu import cosmology
+
+        a0 = float(self.state.a)
+        dk, dd = cosmology.step_factors(a0, a_final, n_steps,
+                                        self.cfg.omega_m, self.cfg.omega_x)
+        loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
+        self.state, diag = self._init_forces(self.state)
+        self._check(diag)
+        for i in range(n_steps):
+            self.state, diag = self._step(self.state, float(dk[i]),
+                                          float(dd[i]),
+                                          float(np.exp(loga[i + 1])))
+            self._check(diag)
+        return self.state
+
+    def _check(self, diag):
+        self.last_diag = {k: np.asarray(v) for k, v in diag.items()}
+        if int(self.last_diag["overflow"]):
+            raise RuntimeError(
+                "sharded-step capacity overflow (traversal caps, ghost/send "
+                "capacity, or shard capacity) -- enlarge the corresponding "
+                "config knobs")

@@ -67,19 +67,28 @@ def _next_pow2(x: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "mass", "lo", "hi"))
-def build_tree(pos, mass: float, leaf_size: int, lo: float, hi: float) -> Tree:
+def build_tree(pos, mass: float, leaf_size: int, lo: float, hi: float,
+               valid=None) -> Tree:
     """Morton sort + leaf blocking + upward (P2M, M2M) pass.
 
     The upward pass fuses the reference's fmm_prepare sequence: p2m for
     every leaf (fmm.c:782-783) then walk_m2m (operator.c:165-194), as
     vmapped batched ops per level.
+
+    ``valid``: optional liveness mask for capacity-padded inputs (sharded
+    mode); invalid slots sort to the tail and carry zero mass.
     """
     n = pos.shape[0]
     n_leaf = _next_pow2(-(-n // leaf_size))
     n_pad = n_leaf * leaf_size - n
 
-    sorted_pos, perm = morton_sort(pos, lo, hi, n_pad)
-    mask = (jnp.arange(n_leaf * leaf_size) < n)
+    sorted_pos, perm = morton_sort(pos, lo, hi, n_pad, valid=valid)
+    if valid is None:
+        mask = (jnp.arange(n_leaf * leaf_size) < n)
+    else:
+        valid_pad = jnp.concatenate(
+            [valid, jnp.zeros((n_pad,), bool)]) if n_pad else valid
+        mask = valid_pad[perm]
 
     leaf_pos = sorted_pos.reshape(n_leaf, leaf_size, 3)
     leaf_mask = mask.reshape(n_leaf, leaf_size)

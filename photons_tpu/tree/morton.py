@@ -37,16 +37,21 @@ def morton_keys(pos, lo, hi):
         | _expand_bits(q[..., 2])
 
 
-def morton_sort(pos, lo, hi, n_pad: int = 0):
+def morton_sort(pos, lo, hi, n_pad: int = 0, valid=None):
     """Sort positions by Morton key; returns (sorted_pos, perm).
 
     ``n_pad`` extra slots are appended with key = int32 max so padding sorts
-    to the end (empty tail leaves).
+    to the end (empty tail leaves).  ``valid`` marks live slots of an
+    already-padded array (sharded capacity padding): invalid slots also get
+    the max key.
     """
     keys = morton_keys(pos, lo, hi)
+    maxkey = jnp.iinfo(jnp.int32).max
+    if valid is not None:
+        keys = jnp.where(valid, keys, maxkey)
     if n_pad:
         keys = jnp.concatenate(
-            [keys, jnp.full((n_pad,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+            [keys, jnp.full((n_pad,), maxkey, jnp.int32)])
         pos = jnp.concatenate([pos, jnp.zeros((n_pad, 3), pos.dtype)])
     perm = jnp.argsort(keys)
     return pos[perm], perm
