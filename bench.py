@@ -1,0 +1,106 @@
+"""North-star benchmark: P2P pair-interactions per second per chip.
+
+Measures the Pallas 'redundant' P2P kernel (the faster of the two layouts,
+mirroring the reference's data-redundancy variant) on a realistic TreePM
+workload: the 32^3-demo-scale box, Morton tree + traversal interaction
+lists, Ewald-damped softened kernel, float32.
+
+Prints ONE JSON line; vs_baseline is against the BASELINE.md target of
+1e10 pair-interactions/s/chip.
+
+Timing note: the axon remote platform dispatches asynchronously and
+block_until_ready can return before execution, so the benchmark chains N
+kernel invocations through a data dependence inside one jit and forces a
+scalar host read -- the only reliable fence -- then subtracts the measured
+round-trip overhead.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from photons_tpu.config import SimConfig
+    from photons_tpu.tree.build import build_tree
+    from photons_tpu.ops.traversal import dual_tree_traversal
+    from photons_tpu.ops.p2p_pallas import (neighbor_table, pack_redundant,
+                                            p2p_redundant, LANES)
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = SimConfig(boxsize=100000.0, n_side=32, n_part_total=32768,
+                    dtype="float32", leaf_size=32)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, cfg.boxsize, (cfg.n_part_total, 3)),
+                      jnp.float32)
+
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
+                      lo=0.0, hi=cfg.boxsize)
+    lists = dual_tree_traversal(
+        tree, theta=cfg.open_angle, cutoff=cfg.cutoff_radius,
+        boxsize=cfg.boxsize, open_cap=cfg.open_cap_per_node,
+        m2l_cap=cfg.m2l_cap_per_node, p2p_cap=cfg.p2p_neighbor_cap,
+        adjacency_eps=1e-9 * cfg.boxsize)
+
+    n_leaf, s = tree.pos.shape[:2]
+    cap = -(-2 * (lists.p2p.shape[0] // n_leaf) // LANES) * LANES
+    table, _ = neighbor_table(lists.p2p, n_leaf, cap)
+    planes = jnp.moveaxis(tree.pos, -1, 1)
+    masses = jnp.where(tree.mask, cfg.particle_mass, 0.0).astype(jnp.float32)
+    centers = tree.centers[-1]
+    src_p, src_m = pack_redundant(planes, masses, table, s, centers=centers,
+                                  boxsize=cfg.boxsize)
+    tgt_rel = planes - centers[:, :, None]
+    used = jnp.sum(table >= 0, axis=1) * s
+    chunk_counts = -(-used // LANES)
+
+    # pair-interactions actually computed: valid leaf pairs x S x S
+    n_pairs_leaf = int(jnp.sum(table >= 0))
+    pairs_per_call = n_pairs_leaf * s * s
+
+    n_chain = 30
+    eps, rs = cfg.soften_scale, cfg.split_radius
+
+    @jax.jit
+    def chained(tgt_rel, src_p, src_m):
+        def body(carry, _):
+            out = p2p_redundant(carry, masses, src_p, src_m, eps=eps, rs=rs,
+                                boxsize=cfg.boxsize,
+                                chunk_counts=chunk_counts,
+                                interpret=not on_tpu)
+            # feed a scalar of the output back to serialize iterations
+            return carry + 0.0 * out[:1, :1, :1], out[0, 0, 0]
+        carry, last = jax.lax.scan(body, tgt_rel, None, length=n_chain)
+        return last.sum()
+
+    # round-trip overhead fence
+    f0 = jax.jit(lambda x: (x * 2.0).sum())
+    xsmall = jnp.ones((8, 8))
+    float(f0(xsmall))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(f0(xsmall))
+    overhead = (time.perf_counter() - t0) / 3
+
+    float(chained(tgt_rel, src_p, src_m))        # warm / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(tgt_rel, src_p, src_m))
+        times.append(time.perf_counter() - t0)
+    per_call = max(1e-9, (min(times) - overhead) / n_chain)
+    rate = pairs_per_call / per_call
+
+    print(json.dumps({
+        "metric": "p2p_pair_interactions_per_sec_per_chip",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / 1e10,
+    }))
+
+
+if __name__ == "__main__":
+    main()

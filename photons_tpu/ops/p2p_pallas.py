@@ -67,7 +67,8 @@ def _erfc_exp(x):
 def _pair_force_tile(tx, ty, tz, sx, sy, sz, sm, eps, rs, boxsize):
     """(S, C) interaction tile: returns (ax, ay, az) each (S,).
 
-    tx/ty/tz (S,); sx/sy/sz/sm (C,).  Lanes = C sources.
+    tx/ty/tz (S,); sx/sy/sz/sm (C,).  Lanes = C sources.  rsqrt-based:
+    one rsqrt + one divide (inside the rational erfc) per lane.
     """
     dx = sx[None, :] - tx[:, None]
     dy = sy[None, :] - ty[:, None]
@@ -77,9 +78,10 @@ def _pair_force_tile(tx, ty, tz, sx, sy, sz, sm, eps, rs, boxsize):
         dy = dy - boxsize * jnp.round(dy * (1.0 / boxsize))
         dz = dz - boxsize * jnp.round(dz * (1.0 / boxsize))
     r2 = dx * dx + dy * dy + dz * dz
-    r = jnp.sqrt(r2)
-    r_soft = jnp.maximum(r, eps)
-    inv_r3 = 1.0 / (r_soft * r_soft * r_soft)
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+    r = r2 * inv_r
+    inv_r3 = inv_r * inv_r * inv_r
+    inv_r3 = jnp.where(r < eps, 1.0 / (eps * eps * eps), inv_r3)
     if rs is not None:
         ec, e = _erfc_exp((0.5 / rs) * r)
         inv_r3 = inv_r3 * (ec + (r * (_INV_SQRT_PI / rs)) * e)
@@ -119,18 +121,31 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
 # redundant layout
 # ---------------------------------------------------------------------------
 
-def pack_redundant(planes, masses, table, leaf_size: int):
+def pack_redundant(planes, masses, table, leaf_size: int, centers=None,
+                   boxsize=None):
     """Gather the packed per-target source stream (the 'collect' phase,
     2_Redundant/src/remotes.c:64-97 done as one XLA gather).
 
     planes (nleaf, 3, S), masses (nleaf, S), table (nleaf, K) ->
     src_planes (nleaf, 3, K*S), src_mass (nleaf, K*S), K*S padded to LANES.
+
+    With ``centers`` (nleaf, 3): positions are stored *relative to the
+    target leaf center* (wrapped toward it at pack time), which removes the
+    float32 cancellation of forming small pair separations from absolute
+    box coordinates.  The kernel still applies a per-pair minimum-image
+    wrap: Morton-chunk AABBs can exceed half the box near octant
+    boundaries, so a single per-leaf image choice is not always valid.
     """
     n_leaf, k = table.shape
     s = leaf_size
     safe = jnp.where(table >= 0, table, 0)
     src_p = planes[safe]                                # (nleaf, K, 3, S)
     src_m = jnp.where((table >= 0)[..., None], masses[safe], 0.0)
+    if centers is not None:
+        c = centers[:, None, :, None]                   # (nleaf, 1, 3, 1)
+        src_p = src_p - c
+        if boxsize is not None:
+            src_p = src_p - boxsize * jnp.round(src_p / boxsize)
     src_p = jnp.moveaxis(src_p, 2, 1).reshape(n_leaf, 3, k * s)
     src_m = src_m.reshape(n_leaf, 1, k * s)
     ks_pad = -(-k * s // LANES) * LANES - k * s
@@ -140,50 +155,72 @@ def pack_redundant(planes, masses, table, leaf_size: int):
     return src_p, src_m
 
 
-def _redundant_kernel(tgt_ref, src_ref, sm_ref, out_ref, *, eps, rs, boxsize):
+def _redundant_kernel(cnt_ref, tgt_ref, src_ref, sm_ref, out_ref, *,
+                      eps, rs, boxsize):
+    i = pl.program_id(0)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    tx, ty, tz = tgt_ref[0, 0, :], tgt_ref[0, 1, :], tgt_ref[0, 2, :]
-    sx, sy, sz = src_ref[0, 0, :], src_ref[0, 1, :], src_ref[0, 2, :]
-    ax, ay, az = _pair_force_tile(tx, ty, tz, sx, sy, sz, sm_ref[0, 0, :],
-                                  eps, rs, boxsize)
-    out_ref[0, 0, :] += ax
-    out_ref[0, 1, :] += ay
-    out_ref[0, 2, :] += az
+    @pl.when(k < cnt_ref[i])
+    def _():
+        tx, ty, tz = tgt_ref[0, 0, :], tgt_ref[0, 1, :], tgt_ref[0, 2, :]
+        sx, sy, sz = src_ref[0, 0, :], src_ref[0, 1, :], src_ref[0, 2, :]
+        ax, ay, az = _pair_force_tile(
+            tx, ty, tz, sx, sy, sz, sm_ref[0, 0, :], eps, rs, boxsize)
+        out_ref[0, 0, :] += ax
+        out_ref[0, 1, :] += ay
+        out_ref[0, 2, :] += az
 
 
 def p2p_redundant(planes, masses, src_planes, src_mass, *, eps: float,
-                  rs: Optional[float], boxsize: Optional[float],
+                  rs: Optional[float], boxsize: Optional[float] = None,
+                  chunk_counts=None,
                   interpret: Optional[bool] = None):
     """Streaming kernel over the pre-packed source stream.
 
-    planes (nleaf, 3, S); src_planes (nleaf, 3, KS); returns (nleaf, 3, S).
+    planes (nleaf, 3, S) target coordinates (may be leaf-center-relative
+    when the stream was packed that way -- displacements are min-image
+    wrapped in-kernel either way, since Morton-chunk AABBs can span more
+    than half the box near octant boundaries); chunk_counts (nleaf,) = used
+    128-lane chunks per leaf (dead chunks are skipped: no compute, and the
+    clamped index map avoids re-fetching).  Returns (nleaf, 3, S).
     """
     n_leaf, _, s = planes.shape
     ks = src_planes.shape[-1]
     chunk = LANES
-    grid = (n_leaf, ks // chunk)
+    n_chunks = ks // chunk
+    if chunk_counts is None:
+        chunk_counts = jnp.full((n_leaf,), n_chunks, jnp.int32)
     kernel = partial(_redundant_kernel, eps=eps, rs=rs, boxsize=boxsize)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
+
+    def clamp_k(i, k, cnt):
+        return jnp.minimum(k, jnp.maximum(cnt[i] - 1, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_leaf, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, s), lambda i, k: (i, 0, 0),
+            pl.BlockSpec((1, 3, s), lambda i, k, cnt: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, chunk), lambda i, k: (i, 0, k),
+            pl.BlockSpec((1, 3, chunk),
+                         lambda i, k, cnt: (i, 0, clamp_k(i, k, cnt)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda i, k: (i, 0, k),
+            pl.BlockSpec((1, 1, chunk),
+                         lambda i, k, cnt: (i, 0, clamp_k(i, k, cnt)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, s), lambda i, k: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, s), lambda i, k, cnt: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_leaf, 3, s), planes.dtype),
         interpret=_interpret_default() if interpret is None else interpret,
-    )(planes, src_planes, src_mass)
+    )(chunk_counts.astype(jnp.int32), planes, src_planes, src_mass)
 
 
 # ---------------------------------------------------------------------------
@@ -233,10 +270,16 @@ def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
     masses = jnp.where(tree.mask, mass, 0.0).astype(tree.pos.dtype)
 
     if layout == "redundant":
-        src_planes, src_mass = pack_redundant(planes, masses, table, s)
-        acc = p2p_redundant(planes, masses, src_planes, src_mass,
+        centers = tree.centers[-1]
+        src_planes, src_mass = pack_redundant(planes, masses, table, s,
+                                              centers=centers,
+                                              boxsize=boxsize)
+        tgt_rel = planes - centers[:, :, None]
+        used = jnp.sum(table >= 0, axis=1) * s
+        chunk_counts = -(-used // LANES)
+        acc = p2p_redundant(tgt_rel, masses, src_planes, src_mass,
                             eps=eps, rs=rs, boxsize=boxsize,
-                            interpret=interpret)
+                            chunk_counts=chunk_counts, interpret=interpret)
     elif layout == "indexing":
         acc = p2p_indexing(planes, masses, table, eps=eps, rs=rs,
                            boxsize=boxsize, interpret=interpret)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Run a simulation from a parameter file (the reference's CLI:
+``mpirun -np N ./photoNs-lcdm <paramfile> [verbosity]``,
+1_Indexing/Makefile:55-58, photoNs.c:369-372).
+
+Examples:
+    python scripts/run_sim.py demo.run                      # full run
+    python scripts/run_sim.py demo.run --engine fmm-redundant --steps 10
+    python scripts/run_sim.py --model lcdm --steps 5        # built-in demo
+    python scripts/run_sim.py --model merger --steps 20
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("paramfile", nargs="?", help="photoNs-2 parameter file")
+    ap.add_argument("--model", choices=["lcdm", "merger"], default="lcdm",
+                    help="built-in demo family when no paramfile is given")
+    ap.add_argument("--engine", default="fmm",
+                    help="pm | direct | fmm | fmm-redundant | fmm-indexing")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--a-final", type=float, default=None)
+    ap.add_argument("--n-part", type=int, default=None)
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--verbosity", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from photons_tpu.config import load_parameter_file
+    from photons_tpu.models import demo_lcdm, demo_merger
+    from photons_tpu.sim import Simulation
+
+    overrides = {}
+    if args.n_part:
+        overrides["n_part_total"] = args.n_part
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+
+    if args.paramfile:
+        cfg = load_parameter_file(args.paramfile, **overrides)
+        sim = Simulation.from_config(cfg, engine=args.engine, log=True)
+    elif args.model == "lcdm":
+        sim = demo_lcdm(engine=args.engine, log=True, **overrides)
+    else:
+        sim = demo_merger(engine=args.engine, log=True, **overrides)
+    cfg = sim.cfg
+
+    n_steps = args.steps if args.steps is not None else cfg.n_steps
+    a_final = args.a_final if args.a_final is not None \
+        else cfg.final_scale_factor
+
+    if args.verbosity:
+        print(f"photoNs-TPU | N={cfg.n_part_total} L={cfg.boxsize:g} "
+              f"nside={cfg.n_side} engine={args.engine} "
+              f"a={float(sim.state.a):.4f} -> {a_final:.4f} "
+              f"({n_steps} steps) on {jax.devices()[0].platform}")
+
+    t0 = time.perf_counter()
+    sim.run(n_steps=n_steps, a_final=a_final,
+            snapshot_times=cfg.snap_times if cfg.snap_times else None)
+    dt = time.perf_counter() - t0
+
+    path = sim.write_snapshot()
+    if args.verbosity:
+        print(f"done in {dt:.1f}s ({dt / max(n_steps, 1):.3f} s/step); "
+              f"snapshot -> {path}")
+        print("phase timers:")
+        print(sim.timers.report())
+        if sim.last_diag:
+            print("interactions:", sim.last_diag)
+
+
+if __name__ == "__main__":
+    main()
