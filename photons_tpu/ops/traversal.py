@@ -111,15 +111,40 @@ def dual_tree_traversal(tree: Tree, theta: float,
     open_cap/m2l_cap are per-node capacities (scaled by 2^d per level);
     p2p_cap is the per-leaf capacity.
     """
-    depth = tree.depth
+    return dual_tree_traversal_pair(
+        tree.centers, tree.widths, tree.counts,
+        tree.centers, tree.widths, tree.counts,
+        theta=theta, cutoff=cutoff, boxsize=boxsize, open_cap=open_cap,
+        m2l_cap=m2l_cap, p2p_cap=p2p_cap, adjacency_eps=adjacency_eps)
+
+
+def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
+                             centers_s, widths_s, counts_s,
+                             theta: float,
+                             cutoff: Optional[float] = None,
+                             boxsize: Optional[float] = None,
+                             open_cap: int = 256, m2l_cap: int = 128,
+                             p2p_cap: int = 192,
+                             adjacency_eps: float = 1e-4,
+                             leaf_unresolved: str = "p2p") -> InteractionLists:
+    """Two-tree traversal: targets from tree T, sources from tree S (same
+    balanced layout).  For S == T this is the local walk; with S = a remote
+    shard's gathered tree metadata it is the cross-shard far-field pass
+    (the reference's fmm_remote_task, remotes.c:670-738).
+
+    leaf_unresolved: what to do with pairs still open at the leaf level --
+    'p2p' emits them as near-field tasks (local walk; remote walk with
+    ghost bodies available), 'm2l' force-accepts them as multipole
+    interactions (pure far-field pass; the caller guarantees ghost bodies
+    cover everything nearer than its acceptance horizon).
+    """
+    depth = len(centers_t) - 1
     frontier = jnp.zeros((1, 2), jnp.int32)         # the (root, root) pair
     f_count = jnp.asarray(1, jnp.int32)
     overflow = jnp.asarray(False)
 
     m2l_lists = []
     m2l_counts = []
-    p2p = None
-    p2p_count = None
 
     for d in range(depth):
         nd1 = 2 ** (d + 1)
@@ -130,28 +155,31 @@ def dual_tree_traversal(tree: Tree, theta: float,
         valid = (jnp.arange(frontier.shape[0]) < f_count)
         valid = jnp.repeat(valid, 4)
 
-        c = tree.centers[d + 1]
-        w = tree.widths[d + 1]
-        n = tree.counts[d + 1]
         t, s = cand[:, 0], cand[:, 1]
-        dist = _min_image(c[t] - c[s], boxsize)
-        flags = acceptance_flags(dist, w[t], w[s], n[t], n[s],
+        dist = _min_image(centers_t[d + 1][t] - centers_s[d + 1][s], boxsize)
+        flags = acceptance_flags(dist, widths_t[d + 1][t],
+                                 widths_s[d + 1][s], counts_t[d + 1][t],
+                                 counts_s[d + 1][s],
                                  theta, cutoff, adjacency_eps)
         flags = jnp.where(valid, flags, -1)
 
+        last = (d + 1 == depth)
+        accept = flags == 1
+        if last and leaf_unresolved == "m2l":
+            accept = flags >= 0                     # force-accept leftovers
+
         cap_m2l = min(4 ** (d + 1), m2l_cap * nd1)
-        lst, cnt, ovf = _compact(cand, flags == 1, cap_m2l)
+        lst, cnt, ovf = _compact(cand, accept, cap_m2l)
         m2l_lists.append(lst)
         m2l_counts.append(cnt)
         overflow |= ovf
 
-        if d + 1 < depth:
-            cap_open = min(4 ** (d + 1), open_cap * nd1)
-        else:
-            cap_open = p2p_cap * nd1
+        cap_open = p2p_cap * nd1 if last else min(4 ** (d + 1),
+                                                  open_cap * nd1)
         frontier, f_count, ovf = _compact(cand, flags == 0, cap_open)
-        overflow |= ovf
+        overflow |= (ovf if not (last and leaf_unresolved == "m2l")
+                     else jnp.asarray(False))
 
-    p2p, p2p_count = frontier, f_count
     return InteractionLists(m2l=tuple(m2l_lists), m2l_counts=tuple(m2l_counts),
-                            p2p=p2p, p2p_count=p2p_count, overflow=overflow)
+                            p2p=frontier, p2p_count=f_count,
+                            overflow=overflow)

@@ -142,6 +142,22 @@ def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
                                valid=val_all)
     acc = acc_all[:cap]
 
+    # ---- top tree: domain flags + global invariants ---------------------
+    # (connect_local_toptree / walk_toptree_m2l parity: the near mask is
+    # the ExtDomain[] analogue; every near domain must be a served hop)
+    from photons_tpu.parallel.toptree import toptree_far_field
+    from photons_tpu.tree.build import build_tree as _bt
+    local_tree = _bt(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
+                     lo=0.0, hi=box, valid=valid)
+    _, near_mask, _ = toptree_far_field(
+        local_tree, AXIS, cfg.open_angle, cfg.cutoff_radius, box,
+        1e-9 * box)
+    me_idx = lax.axis_index(AXIS)
+    hop_dist = jnp.minimum((jnp.arange(d) - me_idx) % d,
+                           (me_idx - jnp.arange(d)) % d)
+    unserved_near = jnp.any(near_mask & (hop_dist > n_hops))
+    halo_bad = halo_bad | unserved_near
+
     # ---- long range: slab paint -> pencil FFT -> gathered readout ------
     mesh_full = cic_paint(jnp.where(valid[:, None], pos, 0.0), box, n_side,
                           weights=valid.astype(dtype))
@@ -175,6 +191,14 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     d = mesh.devices.size
     if cfg.n_side % d:
         raise ValueError("n_side must be divisible by the mesh size")
+    if d > 1 and not (cfg.longshort and cfg.periodic):
+        raise NotImplementedError(
+            "multi-chip mode requires the Ewald split (longshort=True, "
+            "periodic=True): the ghost halo is exact only under the cutoff "
+            "radius; open-boundary Newtonian runs are single-device "
+            "(slab domains are full-extent in y/z, so domain-level "
+            "multipoles can never satisfy the MAC -- as in the reference, "
+            "where walk_toptree_m2l is off the main path)")
     dtype = jnp.dtype(cfg.dtype)
     grav = cfg.grav_const
     box = cfg.boxsize

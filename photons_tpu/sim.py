@@ -181,8 +181,16 @@ class Simulation:
     def run(self, n_steps: Optional[int] = None,
             a_final: Optional[float] = None,
             snapshot_times: Optional[Tuple[float, ...]] = None,
-            callback=None):
-        """Run the KDK loop from the current scale factor."""
+            callback=None, adaptive: bool = False, eta: float = 0.025,
+            max_level: int = 6):
+        """Run the KDK loop from the current scale factor.
+
+        adaptive: refine each macro step into 2^k KDK substeps chosen from
+        the acceleration criterion dt <= eta*sqrt(eps/|a|_max) (the
+        reference declares this capability but ships no implementation --
+        inc/adaptive.h:12-20, adaptive_level_maximum logged but never set,
+        photoNs.h:39).
+        """
         cfg = self.cfg
         n_steps = n_steps if n_steps is not None else cfg.n_steps
         a_final = a_final if a_final is not None else cfg.final_scale_factor
@@ -198,10 +206,26 @@ class Simulation:
         with self.timers.measure("fmm", self.state.acc):
             self.compute_forces()
 
+        self.max_adaptive_level = 0
         for i in range(n_steps):
             t0 = time.perf_counter()
-            self.state, diag = self._step_fn(
-                self.state, float(dk[i]), float(dd[i]), float(a_grid[i + 1]))
+            if adaptive:
+                level = self._adaptive_level(float(dk[i]), eta, max_level)
+                self.max_adaptive_level = max(self.max_adaptive_level, level)
+                n_sub = 1 << level
+                sub_loga = np.linspace(loga[i], loga[i + 1], n_sub + 1)
+                for j in range(n_sub):
+                    dkj = cosmology.kick_factor(sub_loga[j], sub_loga[j + 1],
+                                                cfg.omega_m, cfg.omega_x)
+                    ddj = cosmology.drift_factor(sub_loga[j], sub_loga[j + 1],
+                                                 cfg.omega_m, cfg.omega_x)
+                    self.state, diag = self._step_fn(
+                        self.state, float(dkj), float(ddj),
+                        float(np.exp(sub_loga[j + 1])))
+            else:
+                self.state, diag = self._step_fn(
+                    self.state, float(dk[i]), float(dd[i]),
+                    float(a_grid[i + 1]))
             jax.block_until_ready(self.state.pos)
             dt = time.perf_counter() - t0
             self.timers.add("step", dt)
@@ -218,6 +242,19 @@ class Simulation:
             if callback is not None:
                 callback(i, self)
         return self.state
+
+    def _adaptive_level(self, dk: float, eta: float, max_level: int) -> int:
+        """Refinement level from dt <= eta*sqrt(eps/(G*|a|_max)): the kick
+        time unit is tau = G*dk (vel += acc * G * dk, photoNs.c:161)."""
+        amax = float(jnp.max(jnp.sqrt(jnp.sum(
+            (self.state.acc + self.state.acc_pm) ** 2, axis=-1))))
+        if amax <= 0:
+            return 0
+        dt_req = eta * float(np.sqrt(
+            self.cfg.soften_scale / (amax * self.cfg.grav_const)))
+        tau = dk
+        level = max(0, int(np.ceil(np.log2(max(tau / dt_req, 1e-30)))))
+        return min(level, max_level)
 
     # -- IO ------------------------------------------------------------------
     def write_snapshot(self, a_tag: Optional[float] = None, shard: int = 0):

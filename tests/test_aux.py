@@ -1,0 +1,80 @@
+"""Auxiliary subsystem tests: memory accounting, native checkpoints,
+adaptive stepping (SURVEY.md 5.1/5.4 + vestigial adaptive.h parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from photons_tpu.config import SimConfig
+from photons_tpu.sim import Simulation
+from photons_tpu.io.checkpoint import (load_checkpoint, resume_simulation,
+                                       save_checkpoint)
+from photons_tpu.utils.memory import (device_memory_report, format_memory,
+                                      live_array_census)
+
+
+def _cfg(**kw):
+    base = dict(boxsize=50.0, n_side=32, n_part_total=256, dtype="float64",
+                initial_redshift=49.0, output_path="/tmp/pt_aux")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_memory_report_shapes():
+    rep = device_memory_report()
+    assert set(rep) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+    assert isinstance(format_memory(), str)
+    census = live_array_census(5)
+    assert all(len(r) == 3 for r in census)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 50.0, (256, 3))
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="pm")
+    sim.run(n_steps=2, a_final=cfg.initial_scale_factor * 1.05)
+
+    path = str(tmp_path / "run")
+    save_checkpoint(path, cfg, sim.state)
+    cfg2, arr = load_checkpoint(path)
+    assert cfg2.n_part_total == 256
+    np.testing.assert_array_equal(arr["pos"], np.asarray(sim.state.pos))
+
+    # resumed simulation continues identically to an uninterrupted one
+    sim2 = resume_simulation(path, engine="pm")
+    a_end = cfg.initial_scale_factor * 1.10
+    sim.run(n_steps=2, a_final=a_end)
+    sim2.run(n_steps=2, a_final=a_end)
+    np.testing.assert_allclose(np.asarray(sim2.state.pos),
+                               np.asarray(sim.state.pos), rtol=1e-12)
+
+
+def test_adaptive_stepping_refines():
+    cfg = _cfg(n_part_total=128)
+    rng = np.random.default_rng(1)
+    # two very close particles force a small required timestep
+    pos = rng.uniform(0, 50.0, (128, 3))
+    pos[1] = pos[0] + np.array([0.9 * cfg.soften_scale, 0, 0])
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos),
+                                 engine="direct")
+    sim.run(n_steps=1, a_final=cfg.initial_scale_factor * 1.2,
+            adaptive=True, eta=0.01)
+    assert sim.max_adaptive_level >= 1
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
+def test_adaptive_matches_fixed_when_smooth():
+    """With a generous eta, adaptive must take level 0 and reproduce the
+    fixed-step trajectory exactly."""
+    cfg = _cfg(n_part_total=128)
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 50.0, (128, 3))
+    a1 = cfg.initial_scale_factor * 1.02
+    s1 = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="pm")
+    s1.run(n_steps=2, a_final=a1)
+    s2 = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="pm")
+    s2.run(n_steps=2, a_final=a1, adaptive=True, eta=1e6)
+    assert s2.max_adaptive_level == 0
+    np.testing.assert_array_equal(np.asarray(s1.state.pos),
+                                  np.asarray(s2.state.pos))

@@ -1,0 +1,168 @@
+"""Multi-chip (8 virtual CPU devices) tests: pencil FFT, migration, ghost
+halo, rebalancing, and the full sharded step vs single-device evolution
+(SURVEY.md section 4, rebuild test 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from photons_tpu.config import SimConfig
+from photons_tpu.parallel.fft import green_function_yslice, pencil_poisson
+from photons_tpu.parallel.halo import gather_ghosts
+from photons_tpu.parallel.migrate import migrate
+from photons_tpu.parallel.step import (ShardedSimulation, gather_state,
+                                       make_sharded_state, rebalance_bounds)
+
+L = 50.0
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("x",))
+
+
+def test_pencil_fft_matches_single_device(mesh):
+    from photons_tpu.pm.solver import green_function, pm_potential
+
+    n, rs = 32, 1.953
+    dens = jnp.asarray(np.random.default_rng(0).normal(size=(n, n, n)))
+    phi_ref = pm_potential(dens, green_function(n, L, rs, dtype=jnp.float64))
+    gfp = green_function_yslice(n, L, rs, jnp.float64)
+    f = shard_map(lambda d_, g_: pencil_poisson(d_, g_, "x"), mesh=mesh,
+                  in_specs=(P("x"), P(None, "x", None)), out_specs=P("x"),
+                  check_rep=False)
+    np.testing.assert_allclose(np.asarray(f(dens, gfp)),
+                               np.asarray(phi_ref), atol=1e-12)
+
+
+def test_migration_routes_all_particles(mesh):
+    d = 8
+    cap = 64
+    rng = np.random.default_rng(1)
+    # every shard starts with particles spread over the whole box
+    pos = jnp.asarray(rng.uniform(0, L, (d * cap, 3)))
+    vel = jnp.asarray(rng.normal(size=(d * cap, 3)))
+    valid = jnp.asarray(rng.uniform(size=(d * cap,)) < 0.5)
+    bounds = jnp.asarray(np.linspace(0, L, d + 1))
+
+    f = shard_map(
+        lambda p, v, m, b: migrate((p, v), m, b, send_cap=cap, axis="x"),
+        mesh=mesh, in_specs=(P("x"), P("x"), P("x"), P()),
+        out_specs=((P("x"), P("x")), P("x"), P()), check_rep=False)
+    (pos2, vel2), valid2, ovf = f(pos, vel, valid, bounds)
+    assert not bool(ovf)
+
+    # conservation: same multiset of particles
+    a = np.asarray(pos)[np.asarray(valid)]
+    b = np.asarray(pos2)[np.asarray(valid2)]
+    assert len(a) == len(b)
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               rtol=1e-12)
+    # ownership: every valid particle sits in its shard's slab
+    v2 = np.asarray(valid2).reshape(d, cap)
+    x2 = np.asarray(pos2)[:, 0].reshape(d, cap)
+    for i in range(d):
+        xs = x2[i][v2[i]]
+        assert ((xs >= i * L / d) & (xs < (i + 1) * L / d)).all()
+
+
+def test_ghost_halo_completeness(mesh):
+    d, cap = 8, 32
+    cutoff = 9.0                      # > slab width: needs 2+ hops
+    rng = np.random.default_rng(2)
+    bounds = np.linspace(0, L, d + 1)
+    # one particle per shard at a known x
+    pos = np.zeros((d * cap, 3))
+    valid = np.zeros((d * cap,), bool)
+    for i in range(d):
+        pos[i * cap] = [(i + 0.5) * L / d, 25.0, 25.0]
+        valid[i * cap] = True
+    n_hops = 3
+
+    f = shard_map(
+        lambda p, v, b: gather_ghosts(p, v, b, cutoff, L, cap, n_hops, "x"),
+        mesh=mesh, in_specs=(P("x"), P("x"), P()),
+        out_specs=(P("x"), P("x"), P(), P()), check_rep=False)
+    gpos, gval, ovf, bad = f(jnp.asarray(pos), jnp.asarray(valid),
+                             jnp.asarray(bounds))
+    assert not bool(ovf) and not bool(bad)
+    # shard 0 must see exactly the particles within cutoff of its slab
+    # (min-image): shard 1 at x=9.375 (gap 3.125) and shard 7 at x=46.875
+    # (wrapped gap 3.125); shards 2/6 sit 9.375 away -- just beyond cutoff
+    gp = np.asarray(gpos).reshape(d, -1, 3)
+    gv = np.asarray(gval).reshape(d, -1)
+    seen_x = set(np.round(gp[0][gv[0]][:, 0], 3))
+    assert seen_x == {9.375, 46.875}
+
+
+def test_rebalance_moves_toward_equal_cost():
+    bounds = jnp.asarray(np.linspace(0, L, 9))
+    cost = jnp.asarray([8.0, 1, 1, 1, 1, 1, 1, 1])   # shard 0 overloaded
+    nb = np.asarray(rebalance_bounds(bounds, cost))
+    assert nb[1] < float(bounds[1])   # boundary moves into shard 0
+    assert (np.diff(nb) > 0).all()
+    assert nb[0] == 0 and nb[-1] == L
+
+
+def test_sharded_step_matches_single_device(mesh):
+    from photons_tpu.sim import Simulation
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=1024, dtype="float64",
+                    leaf_size=16, initial_redshift=49.0)
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, L, (1024, 3))
+    vel = rng.normal(size=(1024, 3)) * 1e-4
+
+    sim1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
+    a1 = cfg.initial_scale_factor * 1.05
+    sim1.run(n_steps=2, a_final=a1)
+
+    sim8 = ShardedSimulation.from_arrays(cfg, mesh, pos, vel)
+    sim8.run(n_steps=2, a_final=a1)
+    assert not int(sim8.last_diag["overflow"])
+
+    p1 = np.asarray(sim1.state.pos)
+    p8, v8, _ = gather_state(sim8.state)
+    assert len(p8) == 1024
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=1e-5)
+
+
+def test_toptree_global_invariants(mesh):
+    """domain_tree_moments: global root monopole = total mass, COM correct
+    (connect_local_toptree + walk_toptree_m2m parity)."""
+    from photons_tpu.parallel.toptree import domain_tree_moments
+    from photons_tpu.tree.build import build_tree
+
+    rng = np.random.default_rng(5)
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64")
+    state = make_sharded_state(cfg, mesh, rng.uniform(0, L, (512, 3)),
+                               np.zeros((512, 3)), 0.02)
+
+    def body(pos, valid):
+        t = build_tree(pos, mass=2.0, leaf_size=16, lo=0.0, hi=L,
+                       valid=valid)
+        cs, ms, ns = domain_tree_moments(t, "x")
+        return ms[0][0], cs[0][0], ns[0][0]
+
+    f = shard_map(body, mesh=mesh, in_specs=(P("x"), P("x")),
+                  out_specs=(P(), P(), P()), check_rep=False)
+    m_root, c_root, n_root = f(state.pos, state.valid)
+    assert int(n_root) == 512
+    assert float(m_root[0]) == pytest.approx(2.0 * 512, rel=1e-12)
+    # COM from dipole: com = c - M[1:4]/M[0]
+    pos_all = np.asarray(state.pos)[np.asarray(state.valid)]
+    com = np.asarray(c_root) - np.asarray(m_root)[1:4] / float(m_root[0])
+    np.testing.assert_allclose(com, pos_all.mean(axis=0), rtol=1e-10)
+
+
+def test_sharded_open_boundary_raises(mesh):
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
+                    longshort=False, periodic=False)
+    with pytest.raises(NotImplementedError):
+        ShardedSimulation.from_arrays(
+            cfg, mesh, np.random.default_rng(0).uniform(0, L, (512, 3)),
+            np.zeros((512, 3)))
