@@ -32,7 +32,8 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = SimConfig(boxsize=100000.0, n_side=32, n_part_total=32768,
-                    dtype="float32", leaf_size=32)
+                    dtype="float32", leaf_size=64,     # TPU-tuned leaf size
+                    open_cap_per_node=256, p2p_neighbor_cap=128)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.uniform(0, cfg.boxsize, (cfg.n_part_total, 3)),
                       jnp.float32)
@@ -46,7 +47,12 @@ def main():
         adjacency_eps=1e-9 * cfg.boxsize)
 
     n_leaf, s = tree.pos.shape[:2]
-    cap = -(-2 * (lists.p2p.shape[0] // n_leaf) // LANES) * LANES
+    # tight per-leaf capacity from the measured max partner count (the
+    # production engine buckets this and recompiles on overflow)
+    import numpy as _np
+    tgt_ids = _np.asarray(lists.p2p)[:, 0]
+    max_cnt = int(_np.bincount(tgt_ids[tgt_ids >= 0], minlength=n_leaf).max())
+    cap = -(-max_cnt // 8) * 8
     table, _ = neighbor_table(lists.p2p, n_leaf, cap)
     planes = jnp.moveaxis(tree.pos, -1, 1)
     masses = jnp.where(tree.mask, cfg.particle_mass, 0.0).astype(jnp.float32)

@@ -73,6 +73,8 @@ def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index: float = -1.0
 
     rms = np.sqrt(np.mean(np.sum(psi**2, axis=-1)))
     spacing = L / n_side
+    # psi is the displacement field AT the initial time, normalized so its
+    # rms equals `amplitude` interparticle spacings
     psi *= amplitude * spacing / max(rms, 1e-30)
 
     a0 = cfg.initial_scale_factor
@@ -83,8 +85,9 @@ def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index: float = -1.0
     idx = np.arange(n_side)
     x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
     lattice = (np.stack([x, y, z], axis=-1) + 0.5) * spacing
-    pos = np.mod(lattice + a0 * psi, L).reshape(-1, 3)
-    # internal velocity unit: v_int = v_pec * a  (gdt2unit = a^1.5 on the
-    # Gadget u = v_pec/sqrt(a) convention, snapshot.c:261)
+    pos = np.mod(lattice + psi, L).reshape(-1, 3)
+    # growing mode x(a) = q + [D(a)/D(a0)] psi: the internal velocity
+    # (u = a^2 xdot = a v_pec; gdt2unit a^1.5 on Gadget's v_pec/sqrt(a),
+    # snapshot.c:261) is u(a0) = a0^2 H(a0) f(a0) psi
     vel = (a0 * a0 * h_a * growth_rate * psi).reshape(-1, 3)
     return pos, vel

@@ -52,7 +52,10 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
     """
     dtype = jnp.dtype(cfg.dtype)
     mass = cfg.particle_mass
-    gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius, dtype=dtype)
+    # PMONLY mode uses the bare 1/k^2 kernel -- conv_pmonly
+    # (conv.f90:36-139): no Gaussian split filter, no CIC deconvolution
+    gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
+                        deconvolve=not cfg.pm_only, dtype=dtype)
 
     def pm_fn(pos):
         return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,

@@ -124,3 +124,27 @@ def test_total_force_split_independence_pm():
     # smaller split radius (rs = 1.25 cells -> ~5e-3 of total rms here);
     # absolute accuracy is covered by test_pm_matches_ewald_long_range
     assert np.sqrt((dev**2).mean()) / rms < 8e-3
+
+
+def test_pm_only_green_is_unfiltered():
+    """PMONLY parity (conv_pmonly, conv.f90:36-139): bare 1/k^2, so the PM
+    force between two particles approaches full Newtonian at r >> cell."""
+    from photons_tpu.config import SimConfig
+    from photons_tpu.sim import make_force_fn
+
+    cfg = SimConfig(boxsize=L, n_side=64, n_part_total=2, dtype="float64",
+                    pm_only=True, mass_part=1.0)
+    force_fn = make_force_fn(cfg, engine="pm")
+    # r ~ 3 split radii = 3.8 cells: the split filter still removes ~20%
+    # of the pair force there while the bare kernel resolves ~all of it
+    r = 3.0
+    pos = jnp.asarray([[10.0, 25.0, 25.0], [10.0 + r, 25.0, 25.0]])
+    _, acc_pm, _ = force_fn(pos)
+    newton = 1.0 / r**2
+    assert float(acc_pm[0, 0]) == pytest.approx(newton, rel=0.10)
+
+    # with the split filter the same pair force is partially damped
+    # (long-range factor erf(u) - (r/rs)/sqrt(pi) e^{-u^2} ~ 0.81 at u=1.54)
+    cfg2 = cfg.replace(pm_only=False)
+    _, acc_f, _ = make_force_fn(cfg2, engine="pm")(pos)
+    assert float(acc_f[0, 0]) < 0.9 * newton

@@ -102,3 +102,27 @@ def test_direct_engine_runs():
     sim.run(n_steps=2, a_final=cfg.initial_scale_factor * 1.05)
     assert np.isfinite(np.asarray(sim.state.pos)).all()
     assert float(jnp.abs(sim.state.acc).max()) > 0  # short-range engaged
+
+
+def test_ic_zeldovich_growing_mode_consistency():
+    """ic_zeldovich must seed the growing mode: evolving its output with
+    the PM engine reproduces D(a)^2 growth of P(k) at low k (this caught a
+    1/a0 velocity-normalization bug)."""
+    from photons_tpu.ics import ic_zeldovich
+    from photons_tpu.diagnostics import power_spectrum
+
+    cfg = _cfg(n_part_total=16**3, n_side=32, boxsize=100.0)
+    pos, vel = ic_zeldovich(cfg, seed=3, amplitude=0.02)
+    a0 = cfg.initial_scale_factor
+    a1 = 2 * a0
+    k_i, p_i, _ = power_spectrum(pos, cfg.boxsize, 16)
+    sim = Simulation.from_arrays(cfg, pos, vel, engine="pm")
+    sim.run(n_steps=16, a_final=a1)
+    k_f, p_f, _ = power_spectrum(np.asarray(sim.state.pos), cfg.boxsize, 16)
+    expected = cosmology.growth_factor(a1, cfg.omega_m, cfg.omega_x,
+                                       normalize_at=a0) ** 2
+    # PM-only force misses the erfc short-range part, so only the lowest-k
+    # bin (split filter ~ 0.94 there) tracks the full growth; the TreePM
+    # engine matches D^2 to <1% at all low-k bins (verified on TPU)
+    ratio0 = float(p_f[0] / p_i[0])
+    assert ratio0 == pytest.approx(expected, rel=0.08)
