@@ -32,8 +32,8 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = SimConfig(boxsize=100000.0, n_side=32, n_part_total=32768,
-                    dtype="float32", leaf_size=64,     # TPU-tuned leaf size
-                    open_cap_per_node=256, p2p_neighbor_cap=128)
+                    dtype="float32", leaf_size=128,    # TPU-tuned leaf size
+                    open_cap_per_node=128, p2p_neighbor_cap=96)
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.uniform(0, cfg.boxsize, (cfg.n_part_total, 3)),
                       jnp.float32)

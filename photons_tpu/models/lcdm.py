@@ -20,7 +20,9 @@ def lcdm_config(n_part: int = 32768, boxsize: float = 100000.0,
     base = dict(
         boxsize=boxsize, n_part_total=n_part, n_side=n_side,
         omega_m=0.25, omega_x=0.75, hubble=0.7, initial_redshift=49.0,
-        open_angle=0.4, leaf_size=16, longshort=True, periodic=True,
+        open_angle=0.4, leaf_size=16,   # reference MaxPackage default;
+        # pass leaf_size=128 for TPU-tuned throughput (see BENCH_NOTES.md)
+        longshort=True, periodic=True,
         code_proj="demo", n_steps=100, final_scale_factor=1.0)
     base.update(kw)
     return SimConfig(**base)

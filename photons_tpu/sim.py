@@ -185,7 +185,7 @@ class Simulation:
             a_final: Optional[float] = None,
             snapshot_times: Optional[Tuple[float, ...]] = None,
             callback=None, adaptive: bool = False, eta: float = 0.025,
-            max_level: int = 6):
+            max_level: int = 6, check_interval: int = 8):
         """Run the KDK loop from the current scale factor.
 
         adaptive: refine each macro step into 2^k KDK substeps chosen from
@@ -229,10 +229,14 @@ class Simulation:
                 self.state, diag = self._step_fn(
                     self.state, float(dk[i]), float(dd[i]),
                     float(a_grid[i + 1]))
-            jax.block_until_ready(self.state.pos)
             dt = time.perf_counter() - t0
             self.timers.add("step", dt)
-            self._check_diag(diag)
+            # device->host syncs cost ~70 ms each through the axon tunnel:
+            # only materialize diagnostics every check_interval steps
+            # (and always on the last step)
+            if i % check_interval == check_interval - 1 or i == n_steps - 1:
+                jax.block_until_ready(self.state.pos)
+                self._check_diag(diag)
 
             a_now = float(a_grid[i + 1])
             while snap_left and a_now >= snap_left[0] - 1e-12:
