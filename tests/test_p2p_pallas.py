@@ -73,3 +73,19 @@ def test_pallas_uneven_leaf_occupancy():
         acc, _ = jax.jit(lambda p: fmm_forces(p, cfg, p2p_backend=backend))(pos)
         rms = float(jnp.sqrt((ref**2).sum(-1)).mean())
         assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
+
+
+def test_pallas_s128_tile_path():
+    """leaf_size=128 (the TPU-tuned configuration: full (128,128) tiles,
+    one chunk per neighbor) must agree with the jnp path."""
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=2048, dtype="float64",
+                    leaf_size=128, open_cap_per_node=128,
+                    p2p_neighbor_cap=96)
+    pos = jnp.asarray(np.random.default_rng(9).uniform(0, L, (2048, 3)))
+    ref, _ = jax.jit(lambda p: fmm_forces(p, cfg, p2p_backend="jnp"))(pos)
+    rms = float(jnp.sqrt((ref**2).sum(-1)).mean())
+    for backend in ("redundant", "indexing"):
+        acc, diag = jax.jit(lambda p: fmm_forces(p, cfg,
+                                                 p2p_backend=backend))(pos)
+        assert not bool(diag["overflow"])
+        assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
