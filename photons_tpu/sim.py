@@ -42,6 +42,11 @@ from photons_tpu.utils.timers import PhaseTimers
 ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array, dict]]
 
 
+class CapacityOverflowError(RuntimeError):
+    """A static capacity (traversal frontier, M2L list, P2P neighbor table,
+    ...) was exceeded; results since the last verified state are invalid."""
+
+
 def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
     """Build a (pos) -> (acc_short, acc_pm) function.
 
@@ -175,11 +180,21 @@ class Simulation:
             self.last_diag = {k: (int(v) if hasattr(v, "item") else v)
                               for k, v in diag.items()}
             if self.last_diag.get("overflow"):
-                raise RuntimeError(
+                raise CapacityOverflowError(
                     "traversal capacity overflow -- enlarge "
                     "open_cap_per_node / m2l_cap_per_node / p2p_neighbor_cap "
                     "(SURVEY.md section 7, 'static shapes for an adaptive "
                     "structure')")
+
+    def _grow_capacities(self, factor: int = 4):
+        """Elastic recovery: grow the static capacity knobs and recompile
+        (the 'recompile when capacities overflow' policy, SURVEY.md 7;
+        the reference instead aborts or silently truncates)."""
+        self.cfg = self.cfg.replace(
+            open_cap_per_node=self.cfg.open_cap_per_node * factor,
+            m2l_cap_per_node=self.cfg.m2l_cap_per_node * factor,
+            p2p_neighbor_cap=self.cfg.p2p_neighbor_cap * factor)
+        self.__post_init__()
 
     def run(self, n_steps: Optional[int] = None,
             a_final: Optional[float] = None,
@@ -206,11 +221,25 @@ class Simulation:
 
         snap_left = sorted(snapshot_times or ())
 
-        with self.timers.measure("fmm", self.state.acc):
-            self.compute_forces()
+        max_retries = 6
+        retries = 0
+        while True:
+            try:
+                with self.timers.measure("fmm", self.state.acc):
+                    self.compute_forces()
+                break
+            except CapacityOverflowError:
+                retries += 1
+                if retries > max_retries:
+                    raise
+                self._grow_capacities()
 
         self.max_adaptive_level = 0
-        for i in range(n_steps):
+        # rollback point for elastic capacity recovery: results between
+        # verified syncs are invalid if an overflow is detected
+        verified_state, verified_i = self.state, 0
+        i = 0
+        while i < n_steps:
             t0 = time.perf_counter()
             if adaptive:
                 level = self._adaptive_level(float(dk[i]), eta, max_level)
@@ -235,8 +264,19 @@ class Simulation:
             # only materialize diagnostics every check_interval steps
             # (and always on the last step)
             if i % check_interval == check_interval - 1 or i == n_steps - 1:
-                jax.block_until_ready(self.state.pos)
-                self._check_diag(diag)
+                try:
+                    jax.block_until_ready(self.state.pos)
+                    self._check_diag(diag)
+                    verified_state, verified_i = self.state, i + 1
+                except CapacityOverflowError:
+                    retries += 1
+                    if retries > max_retries:
+                        raise
+                    # grow, recompile, roll back, replay
+                    self._grow_capacities()
+                    self.state = verified_state
+                    i = verified_i
+                    continue
 
             a_now = float(a_grid[i + 1])
             while snap_left and a_now >= snap_left[0] - 1e-12:
@@ -248,6 +288,7 @@ class Simulation:
                                   n_m2l=self.last_diag.get("n_m2l", 0))
             if callback is not None:
                 callback(i, self)
+            i += 1
         return self.state
 
     def _adaptive_level(self, dk: float, eta: float, max_level: int) -> int:

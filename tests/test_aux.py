@@ -78,3 +78,28 @@ def test_adaptive_matches_fixed_when_smooth():
     assert s2.max_adaptive_level == 0
     np.testing.assert_array_equal(np.asarray(s1.state.pos),
                                   np.asarray(s2.state.pos))
+
+
+def test_elastic_capacity_recovery():
+    """Starting with absurdly small traversal capacities, run() must
+    detect the overflow, grow capacities, recompile, replay from the last
+    verified state, and produce the same trajectory as a generously-sized
+    run (elastic recovery: the reference aborts or silently truncates)."""
+    from photons_tpu.sim import CapacityOverflowError
+
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(0, 50.0, (256, 3))
+    a1 = 0.02 * 1.05
+
+    big = Simulation.from_arrays(_cfg(n_part_total=256), pos,
+                                 np.zeros_like(pos), engine="fmm")
+    big.run(n_steps=2, a_final=a1, check_interval=1)
+
+    tiny_cfg = _cfg(n_part_total=256, open_cap_per_node=2,
+                    m2l_cap_per_node=2, p2p_neighbor_cap=2)
+    small = Simulation.from_arrays(tiny_cfg, pos, np.zeros_like(pos),
+                                   engine="fmm")
+    small.run(n_steps=2, a_final=a1, check_interval=1)
+    assert small.cfg.open_cap_per_node > 2     # capacities were grown
+    np.testing.assert_allclose(np.asarray(small.state.pos),
+                               np.asarray(big.state.pos), rtol=1e-12)
