@@ -23,8 +23,9 @@ def main():
     ap.add_argument("paramfile", nargs="?", help="photoNs-2 parameter file")
     ap.add_argument("--model", choices=["lcdm", "merger"], default="lcdm",
                     help="built-in demo family when no paramfile is given")
-    ap.add_argument("--engine", default="fmm",
-                    help="pm | direct | fmm | fmm-redundant | fmm-indexing")
+    ap.add_argument("--engine", default=None,
+                    help="pm | direct | fmm | fmm-redundant | fmm-indexing "
+                         "(default: fmm-redundant on TPU, fmm elsewhere)")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--a-final", type=float, default=None)
     ap.add_argument("--n-part", type=int, default=None)
@@ -38,6 +39,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    if args.engine is None:
+        args.engine = ("fmm-redundant" if jax.default_backend() == "tpu"
+                       else "fmm")
 
     from photons_tpu.config import load_parameter_file
     from photons_tpu.models import demo_lcdm, demo_merger
