@@ -33,10 +33,7 @@ from photons_tpu.ops.traversal import InteractionLists, dual_tree_traversal
 from photons_tpu.tree.build import Tree, build_tree
 
 
-def _min_image(d, boxsize: Optional[float]):
-    if boxsize is None:
-        return d
-    return d - boxsize * jnp.round(d / boxsize)
+from photons_tpu.ops.kernels import min_image as _min_image
 
 
 def apply_m2l(tree: Tree, lists: InteractionLists,

@@ -26,6 +26,14 @@ from jax.scipy.special import erfc
 _INV_SQRT_PI = 0.5641895835477563  # 1/sqrt(pi)
 
 
+def min_image(d, boxsize=None):
+    """Minimum-image displacement (single source of truth for the periodic
+    convention; the Pallas kernels inline the same formula per axis)."""
+    if boxsize is None:
+        return d
+    return d - boxsize * jnp.round(d / boxsize)
+
+
 def short_range_factor(r, split_radius):
     """Ewald damping g(r); g(0)=1, g(inf)=0."""
     x = 0.5 * r / split_radius

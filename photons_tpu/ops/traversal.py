@@ -91,10 +91,7 @@ def _compact(pairs, mask, cap: int):
     return out, count, count > cap
 
 
-def _min_image(d, boxsize: Optional[float]):
-    if boxsize is None:
-        return d
-    return d - boxsize * jnp.round(d / boxsize)
+from photons_tpu.ops.kernels import min_image as _min_image
 
 
 @partial(jax.jit, static_argnames=("theta", "cutoff", "boxsize",

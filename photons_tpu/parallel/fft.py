@@ -54,23 +54,10 @@ def pencil_poisson(local_slab, gf_local, axis: str):
 
 def green_function_yslice(n_side: int, boxsize: float, split_radius: float,
                           dtype):
-    """Full Green's function laid out for pencil use: (n, n, nh), to be
-    sharded on axis 1 (y) by the caller.  Same formula as
-    pm.solver.green_function (conv.f90:183-233) but with numpy's fft along
-    x, rfft along z."""
-    import numpy as np
+    """The Green's function laid out for pencil use: (n, n, nh), sharded on
+    axis 1 (y) by the caller.  Same kernel as pm.solver.green_function
+    (single source of truth); numpy's fft along x, rfft along z match the
+    pencil transforms."""
+    from photons_tpu.pm.solver import green_function
 
-    l_full = np.fft.fftfreq(n_side, d=1.0 / n_side)
-    l_half = np.arange(n_side // 2 + 1)
-    lx = l_full[:, None, None]
-    ly = l_full[None, :, None]
-    lz = l_half[None, None, :]
-    k2 = lx**2 + ly**2 + lz**2
-    pref = boxsize**2 / np.pi
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ismth2 = (2.0 * np.pi * split_radius / boxsize) ** 2
-        sinc = lambda l: np.sinc(l / n_side)
-        ff = 1.0 / (sinc(lx) * sinc(ly) * sinc(lz))
-        gf = pref / k2 * np.exp(-k2 * ismth2) * ff**4
-    gf[0, 0, 0] = pref
-    return jnp.asarray(gf, dtype)
+    return green_function(n_side, boxsize, split_radius, dtype=dtype)

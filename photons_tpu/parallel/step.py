@@ -144,14 +144,28 @@ def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
 
     # ---- top tree: domain flags + global invariants ---------------------
     # (connect_local_toptree / walk_toptree_m2l parity: the near mask is
-    # the ExtDomain[] analogue; every near domain must be a served hop)
+    # the ExtDomain[] analogue; every near domain must be a served hop).
+    # Only the shard ROOT is needed, so compute it directly from masked
+    # reductions + one p2m instead of a second full tree build.
+    from photons_tpu.ops.multipoles import p2m
     from photons_tpu.parallel.toptree import toptree_far_field
-    from photons_tpu.tree.build import build_tree as _bt
-    local_tree = _bt(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
-                     lo=0.0, hi=box, valid=valid)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    pmin = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    pmax = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    n_local = jnp.sum(valid)
+    root_center = jnp.where(n_local > 0, 0.5 * (pmin + pmax), 0.0)
+    root_width = jnp.where(n_local > 0, pmax - pmin, 0.0)
+    root_m = p2m(pos - root_center,
+                 jnp.where(valid, cfg.particle_mass, 0.0).astype(dtype))
+
+    class _Root:
+        centers = (root_center[None, :],)
+        widths = (root_width[None, :],)
+        counts = (n_local[None],)
+        moments = (root_m[None, :],)
+
     _, near_mask, _ = toptree_far_field(
-        local_tree, AXIS, cfg.open_angle, cfg.cutoff_radius, box,
-        1e-9 * box)
+        _Root, AXIS, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
     me_idx = lax.axis_index(AXIS)
     hop_dist = jnp.minimum((jnp.arange(d) - me_idx) % d,
                            (me_idx - jnp.arange(d)) % d)
@@ -234,7 +248,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         else:
             new_bounds = bounds
         diag = dict(diag)
-        diag["overflow"] = diag["overflow"] | mig_ovf.astype(jnp.int32)
+        # migration overflow is per-shard: reduce before merging into the
+        # replicated diag or another shard's False can mask lost particles
+        diag["overflow"] = diag["overflow"] | lax.pmax(
+            mig_ovf.astype(jnp.int32), AXIS)
         return pos, vel, acc, acc_pm, valid, new_bounds, diag
 
     smapped = shard_map(

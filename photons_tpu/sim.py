@@ -57,14 +57,22 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
     """
     dtype = jnp.dtype(cfg.dtype)
     mass = cfg.particle_mass
-    # PMONLY mode uses the bare 1/k^2 kernel -- conv_pmonly
-    # (conv.f90:36-139): no Gaussian split filter, no CIC deconvolution
-    gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
-                        deconvolve=not cfg.pm_only, dtype=dtype)
 
-    def pm_fn(pos):
-        return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
-                        n_side=cfg.n_side)
+    if cfg.longshort or cfg.pm_only or engine == "pm":
+        # PMONLY mode uses the bare 1/k^2 kernel -- conv_pmonly
+        # (conv.f90:36-139): no Gaussian split filter, no CIC deconvolution
+        gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
+                            deconvolve=not cfg.pm_only, dtype=dtype)
+
+        def pm_fn(pos):
+            return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
+                            n_side=cfg.n_side)
+    else:
+        # without the Ewald split the tree computes the FULL Newtonian
+        # force; adding a PM solve would double-count gravity (and impose
+        # periodicity on open-boundary runs)
+        def pm_fn(pos):
+            return jnp.zeros_like(pos)
 
     no_diag: dict = {}
 
@@ -225,8 +233,9 @@ class Simulation:
         retries = 0
         while True:
             try:
-                with self.timers.measure("fmm", self.state.acc):
+                with self.timers.measure("fmm"):
                     self.compute_forces()
+                    jax.block_until_ready(self.state.acc)
                 break
             except CapacityOverflowError:
                 retries += 1
@@ -238,6 +247,7 @@ class Simulation:
         # rollback point for elastic capacity recovery: results between
         # verified syncs are invalid if an overflow is detected
         verified_state, verified_i = self.state, 0
+        pending_ovf = False
         i = 0
         while i < n_steps:
             t0 = time.perf_counter()
@@ -246,39 +256,59 @@ class Simulation:
                 self.max_adaptive_level = max(self.max_adaptive_level, level)
                 n_sub = 1 << level
                 sub_loga = np.linspace(loga[i], loga[i + 1], n_sub + 1)
+                diag = {}
                 for j in range(n_sub):
                     dkj = cosmology.kick_factor(sub_loga[j], sub_loga[j + 1],
                                                 cfg.omega_m, cfg.omega_x)
                     ddj = cosmology.drift_factor(sub_loga[j], sub_loga[j + 1],
                                                  cfg.omega_m, cfg.omega_x)
-                    self.state, diag = self._step_fn(
+                    self.state, dsub = self._step_fn(
                         self.state, float(dkj), float(ddj),
                         float(np.exp(sub_loga[j + 1])))
+                    if "overflow" in dsub and "overflow" in diag:
+                        dsub = dict(dsub)
+                        dsub["overflow"] = dsub["overflow"] | diag["overflow"]
+                    diag = dsub
             else:
                 self.state, diag = self._step_fn(
                     self.state, float(dk[i]), float(dd[i]),
                     float(a_grid[i + 1]))
             dt = time.perf_counter() - t0
             self.timers.add("step", dt)
+            a_now = float(a_grid[i + 1])
+            # accumulate the overflow flag ON DEVICE across the whole
+            # check window (a transient overflow in any step invalidates
+            # the window, not just the last step's)
+            if "overflow" in diag:
+                diag = dict(diag)
+                diag["overflow"] = diag["overflow"] | pending_ovf
+                pending_ovf = diag["overflow"]
             # device->host syncs cost ~70 ms each through the axon tunnel:
-            # only materialize diagnostics every check_interval steps
-            # (and always on the last step)
-            if i % check_interval == check_interval - 1 or i == n_steps - 1:
+            # only materialize diagnostics every check_interval steps, on
+            # the last step, and before any snapshot is written (snapshots
+            # must never be taken from an unverified state)
+            snap_due = bool(snap_left) and a_now >= snap_left[0] - 1e-12
+            if (i % check_interval == check_interval - 1
+                    or i == n_steps - 1 or snap_due):
                 try:
                     jax.block_until_ready(self.state.pos)
                     self._check_diag(diag)
                     verified_state, verified_i = self.state, i + 1
+                    pending_ovf = False
                 except CapacityOverflowError:
                     retries += 1
                     if retries > max_retries:
                         raise
-                    # grow, recompile, roll back, replay
+                    # grow, recompile, roll back, replay (snap_left was not
+                    # popped, so due snapshots re-emit from the replay; log
+                    # rows for replayed steps repeat, which the run log
+                    # tolerates)
                     self._grow_capacities()
                     self.state = verified_state
+                    pending_ovf = False
                     i = verified_i
                     continue
 
-            a_now = float(a_grid[i + 1])
             while snap_left and a_now >= snap_left[0] - 1e-12:
                 self.write_snapshot(snap_left.pop(0))
             if self.log is not None:

@@ -156,3 +156,18 @@ def test_fmm_momentum_conservation():
     # the truncation error scale
     rms = float(jnp.sqrt((acc ** 2).sum(-1)).mean())
     assert np.abs(np.asarray(acc).sum(0)).max() < 1e-3 * rms * 1024
+
+
+def test_open_boundary_engine_has_no_pm():
+    """Without the Ewald split the tree computes the FULL Newtonian force;
+    the engine must not add a PM solve on top (double-counted gravity) --
+    regression for the merger model family."""
+    from photons_tpu.sim import make_force_fn
+
+    cfg = _cfg(longshort=False, periodic=False, n_part_total=256)
+    pos = _randpos(256, 11)
+    acc, acc_pm, _ = make_force_fn(cfg, engine="fmm")(pos)
+    assert float(jnp.abs(acc_pm).max()) == 0.0
+    ref = direct_forces(pos, mass=cfg.particle_mass, eps=cfg.soften_scale)
+    rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
+    assert float(jnp.abs(acc - ref).max()) / rms < 1e-3

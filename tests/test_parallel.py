@@ -110,11 +110,11 @@ def test_rebalance_moves_toward_equal_cost():
 def test_sharded_step_matches_single_device(mesh):
     from photons_tpu.sim import Simulation
 
-    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=1024, dtype="float64",
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
                     leaf_size=16, initial_redshift=49.0)
     rng = np.random.default_rng(3)
-    pos = rng.uniform(0, L, (1024, 3))
-    vel = rng.normal(size=(1024, 3)) * 1e-4
+    pos = rng.uniform(0, L, (512, 3))
+    vel = rng.normal(size=(512, 3)) * 1e-4
 
     sim1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
     a1 = cfg.initial_scale_factor * 1.05
@@ -126,7 +126,7 @@ def test_sharded_step_matches_single_device(mesh):
 
     p1 = np.asarray(sim1.state.pos)
     p8, v8, _ = gather_state(sim8.state)
-    assert len(p8) == 1024
+    assert len(p8) == 512
     key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
     np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=1e-5)
 
