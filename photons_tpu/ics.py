@@ -39,14 +39,44 @@ def ic_grid(cfg: SimConfig):
     return pos, np.zeros_like(pos)
 
 
-def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index: float = -1.0,
+def eisenstein_hu_pk(k, omega_m: float = 0.25, omega_b: float = 0.045,
+                     hubble: float = 0.7, n_s: float = 0.96):
+    """Linear LCDM P(k) shape from the Eisenstein & Hu (1998) zero-baryon
+    transfer function (astro-ph/9709112, eqs. 26-31).  k in h/Mpc;
+    unnormalized (the IC generator normalizes to a target amplitude).
+
+    Fills the reference's vestigial ic_lcdm* surface (inc/icreater.h:8-14)
+    with a physical LCDM spectrum instead of a power law.
+    """
+    k = np.asarray(k, np.float64)
+    h = hubble
+    theta = 2.728 / 2.7                      # CMB temperature ratio
+    omh2 = omega_m * h * h
+    obh2 = omega_b * h * h
+    # sound horizon and shape-suppression (EH98 eqs. 26, 28, 30-31)
+    s_horizon = 44.5 * np.log(9.83 / omh2) / np.sqrt(1 + 10 * obh2**0.75)
+    alpha = (1 - 0.328 * np.log(431 * omh2) * omega_b / omega_m
+             + 0.38 * np.log(22.3 * omh2) * (omega_b / omega_m) ** 2)
+    gamma_eff = omega_m * h * (alpha + (1 - alpha)
+                               / (1 + (0.43 * k * h * s_horizon) ** 4))
+    q = k * theta * theta / gamma_eff
+    l0 = np.log(2 * np.e + 1.8 * q)
+    c0 = 14.2 + 731.0 / (1 + 62.5 * q)
+    t_k = l0 / (l0 + c0 * q * q)
+    return np.where(k > 0, k ** n_s * t_k * t_k, 0.0)
+
+
+def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index=-1.0,
                  amplitude: float = 0.05):
     """Zel'dovich displacements from a Gaussian random field.
 
-    Displacement field psi(q) with psi(k) = i k/k^2 delta(k); particles start
-    on the lattice and move by a*psi with the growing-mode velocity
-    v = a * H(a) * f * psi (f ~ Omega_m(a)^0.55).  ``amplitude`` sets the
+    Displacement field psi(q) with psi(k) = i k/k^2 delta(k); particles
+    start on the lattice displaced by psi, with the growing-mode velocity
+    u = a^2 H(a) f(a) psi (f ~ Omega_m(a)^0.55).  ``amplitude`` sets the
     rms displacement in units of the interparticle spacing.
+
+    spectral_index: a float for a power-law P(k) ~ k^n, or the string
+    'lcdm' for the Eisenstein-Hu LCDM shape.
     """
     from photons_tpu import cosmology
 
@@ -61,8 +91,16 @@ def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index: float = -1.0
     k2 = kx**2 + ky**2 + kz**2
     k2[0, 0, 0] = 1.0
 
-    # Gaussian delta(k) with power-law P(k) ~ k^n, smoothed at the Nyquist.
-    pk = np.where(k2 > (2 * np.pi / L) ** 2 * 0.5, np.sqrt(k2) ** spectral_index, 0.0)
+    # Gaussian delta(k), smoothed at the Nyquist
+    kmag = np.sqrt(k2)
+    if spectral_index == "lcdm":
+        # kmag is in 1/(kpc/h); EH98 wants h/Mpc
+        pk = eisenstein_hu_pk(kmag * 1000.0, cfg.omega_m,
+                              hubble=cfg.hubble)
+        pk[0, 0, 0] = 0.0
+    else:
+        pk = np.where(k2 > (2 * np.pi / L) ** 2 * 0.5,
+                      kmag ** spectral_index, 0.0)
     pk *= np.exp(-k2 / (0.25 * (np.pi * n_side / L) ** 2))
     noise = rng.normal(size=k2.shape) + 1j * rng.normal(size=k2.shape)
     delta_k = noise * np.sqrt(pk / 2.0)

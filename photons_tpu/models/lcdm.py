@@ -35,9 +35,11 @@ def demo_lcdm(engine: str = "fmm", ic: str = "zeldovich", seed: int = 12345,
     cfg = cfg or lcdm_config(**cfg_kw)
     if cfg.input_path:
         return Simulation.from_config(cfg, engine=engine, log=log)
-    if ic == "zeldovich":
+    if ic in ("zeldovich", "lcdm"):
         from photons_tpu.ics import ic_zeldovich
-        pos, vel = ic_zeldovich(cfg, seed=seed)
+        pos, vel = ic_zeldovich(
+            cfg, seed=seed,
+            spectral_index="lcdm" if ic == "lcdm" else -1.0)
     elif ic == "uniform":
         from photons_tpu.ics import ic_uniform
         pos, vel = ic_uniform(cfg, seed=seed)

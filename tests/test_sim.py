@@ -126,3 +126,26 @@ def test_ic_zeldovich_growing_mode_consistency():
     # engine matches D^2 to <1% at all low-k bins (verified on TPU)
     ratio0 = float(p_f[0] / p_i[0])
     assert ratio0 == pytest.approx(expected, rel=0.08)
+
+
+def test_ic_zeldovich_lcdm_spectrum():
+    """'lcdm' spectral shape: EH98 transfer function -> P(k) turns over
+    (less relative power at the smallest scales than a pure power law)."""
+    from photons_tpu.ics import ic_zeldovich, eisenstein_hu_pk
+    from photons_tpu.diagnostics import power_spectrum
+
+    # transfer function sanity: T->1 at low k, decreasing
+    import numpy as np
+    k = np.array([1e-4, 1e-2, 1.0, 10.0])
+    pk = eisenstein_hu_pk(k)
+    t2 = pk / k**0.96
+    assert t2[0] == pytest.approx(1.0, rel=1e-2)
+    assert (np.diff(t2) < 0).all()
+
+    cfg = _cfg(n_part_total=16**3, boxsize=100000.0)
+    pos, vel = ic_zeldovich(cfg, seed=1, spectral_index="lcdm",
+                            amplitude=0.03)
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
+    assert pos.min() >= 0 and pos.max() < cfg.boxsize
+    k_m, p_m, _ = power_spectrum(pos, cfg.boxsize, 16)
+    assert np.isfinite(p_m).all()
