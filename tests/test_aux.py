@@ -91,11 +91,11 @@ def test_elastic_capacity_recovery():
     pos = rng.uniform(0, 50.0, (256, 3))
     a1 = 0.02 * 1.05
 
-    big = Simulation.from_arrays(_cfg(n_part_total=256), pos,
+    big = Simulation.from_arrays(_cfg(n_part_total=256, leaf_size=32), pos,
                                  np.zeros_like(pos), engine="fmm")
     big.run(n_steps=2, a_final=a1, check_interval=1)
 
-    tiny_cfg = _cfg(n_part_total=256, open_cap_per_node=2,
+    tiny_cfg = _cfg(n_part_total=256, leaf_size=32, open_cap_per_node=2,
                     m2l_cap_per_node=2, p2p_neighbor_cap=2)
     small = Simulation.from_arrays(tiny_cfg, pos, np.zeros_like(pos),
                                    engine="fmm")
