@@ -27,8 +27,7 @@ def main():
     from photons_tpu.config import SimConfig
     from photons_tpu.tree.build import build_tree
     from photons_tpu.ops.traversal import dual_tree_traversal
-    from photons_tpu.ops.p2p_pallas import (neighbor_table, pack_redundant,
-                                            p2p_redundant, LANES)
+    from photons_tpu.ops.p2p_pallas import pack_redundant, p2p_redundant, LANES
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = SimConfig(boxsize=100000.0, n_side=32, n_part_total=32768,
@@ -47,13 +46,13 @@ def main():
         adjacency_eps=1e-9 * cfg.boxsize)
 
     n_leaf, s = tree.pos.shape[:2]
-    # tight per-leaf capacity from the measured max partner count (the
-    # production engine buckets this and recompiles on overflow)
-    import numpy as _np
-    tgt_ids = _np.asarray(lists.p2p)[:, 0]
-    max_cnt = int(_np.bincount(tgt_ids[tgt_ids >= 0], minlength=n_leaf).max())
+    # the traversal emits the per-leaf neighbor table directly; tighten the
+    # column count to the measured max partner count (the production engine
+    # buckets this and recompiles on overflow)
+    table_np = np.asarray(lists.p2p)
+    max_cnt = int((table_np >= 0).sum(axis=1).max())
     cap = -(-max_cnt // 8) * 8
-    table, _ = neighbor_table(lists.p2p, n_leaf, cap)
+    table = jnp.asarray(table_np[:, :cap])
     planes = jnp.moveaxis(tree.pos, -1, 1)
     masses = jnp.where(tree.mask, cfg.particle_mass, 0.0).astype(jnp.float32)
     centers = tree.centers[-1]

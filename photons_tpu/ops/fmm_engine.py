@@ -38,27 +38,30 @@ from photons_tpu.ops.kernels import min_image as _min_image
 
 def apply_m2l(tree: Tree, lists: InteractionLists,
               split_radius: Optional[float], boxsize: Optional[float]):
-    """Evaluate all M2L pairs, accumulated into per-level local expansions.
+    """Evaluate all M2L interactions into per-level local expansions.
+
+    The traversal's per-target tables give each node exclusive ownership of
+    its row, so accumulation is a dense gather + reduce over the table's
+    short axis -- no scatter-add (the reference instead loops m2l() per
+    task, task_compute_m2l fmm.c:913-945).
 
     Returns a list of (2^d, 20) local-expansion arrays per depth.
     """
     locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
-    for lvl, (pairs, cnt) in enumerate(zip(lists.m2l, lists.m2l_counts)):
-        d = lvl + 1                                  # lists start at depth 1
-        tgt, src = pairs[:, 0], pairs[:, 1]
-        valid = tgt >= 0
-        tgt_c = jnp.where(valid, tgt, 0)
-        src_c = jnp.where(valid, src, 0)
+    for lvl, (tbl, cnt) in enumerate(zip(lists.m2l, lists.m2l_counts)):
+        d = lvl + 1                                  # tables start at depth 1
+        n_nodes, cap = tbl.shape
+        valid = tbl >= 0
+        safe = jnp.maximum(tbl, 0)
         centers = tree.centers[d]
-        disp = _min_image(centers[tgt_c] - centers[src_c], boxsize)
-        m_src = jnp.where(valid[:, None], tree.moments[d][src_c], 0.0)
+        disp = _min_image(centers[:, None, :] - centers[safe], boxsize)
+        m_src = jnp.where(valid[..., None], tree.moments[d][safe], 0.0)
         # guard the padded rows against r = 0 in the kernel
-        disp = jnp.where(valid[:, None], disp, 1.0)
-        dl = mp.m2l(m_src, disp, split_radius=split_radius)
-        dl = jnp.where(valid[:, None], dl, 0.0)
-        n_nodes = tree.centers[d].shape[0]
-        locals_per_level[d] = locals_per_level[d].at[tgt_c].add(
-            jnp.where(valid[:, None], dl, 0.0))
+        disp = jnp.where(valid[..., None], disp, 1.0)
+        dl = mp.m2l(m_src.reshape(-1, mp.NMULTI), disp.reshape(-1, 3),
+                    split_radius=split_radius).reshape(n_nodes, cap, -1)
+        locals_per_level[d] = locals_per_level[d] + jnp.sum(
+            jnp.where(valid[..., None], dl, 0.0), axis=1)
     return locals_per_level
 
 
@@ -84,32 +87,30 @@ def leaf_l2p(tree: Tree, leaf_locals):
 
 def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
             split_radius: Optional[float], boxsize: Optional[float]):
-    """Dense jnp P2P over the pair list -> per-particle acc (nleaf, S, 3).
+    """Dense jnp P2P over the neighbor table -> per-particle acc
+    (nleaf, S, 3).
 
-    Functional reference for the Pallas kernels: gathers both leaf blocks
-    per pair (the 'Redundant' data layout, in XLA), computes the masked
-    S x S interaction tile, and segment-sums per target leaf.
+    Functional reference for the Pallas kernels: gathers each target leaf's
+    source blocks through the table (the 'Redundant' data layout, in XLA),
+    computes masked S x S interaction tiles, and reduces over the table
+    axis -- each target row is exclusively owned, so no scatter-add.
     """
-    pairs, count = lists.p2p, lists.p2p_count
+    table = lists.p2p                                 # (nleaf, K)
     n_leaf, s = tree.pos.shape[:2]
-    tgt, src = pairs[:, 0], pairs[:, 1]
-    valid = tgt >= 0
-    tgt_c = jnp.where(valid, tgt, 0)
-    src_c = jnp.where(valid, src, 0)
+    k = table.shape[1]
+    valid = table >= 0
+    safe = jnp.maximum(table, 0)
 
-    pos_t = tree.pos[tgt_c]                           # (P, S, 3)
-    pos_s = tree.pos[src_c]
-    m_s = jnp.where(tree.mask[src_c] & valid[:, None], mass, 0.0)
+    pos_s = tree.pos[safe]                            # (nleaf, K, S, 3)
+    m_s = jnp.where(tree.mask[safe] & valid[..., None], mass, 0.0)
 
-    dx = _min_image(pos_s[:, None, :, :] - pos_t[:, :, None, :], boxsize)
+    # (nleaf, K, S_t, S_s, 3): target index broadcasts over the table axis
+    dx = _min_image(pos_s[:, :, None, :, :] - tree.pos[:, None, :, None, :],
+                    boxsize)
     r2 = jnp.sum(dx * dx, axis=-1)
-    acc_pair = jnp.sum(
-        pair_accel(dx, r2, m_s[:, None, :], eps, split_radius), axis=2)
-
-    seg = jnp.where(valid, tgt_c, n_leaf)
-    acc_leaf = jnp.zeros((n_leaf + 1, s, 3), acc_pair.dtype)
-    acc_leaf = acc_leaf.at[seg].add(acc_pair)
-    return acc_leaf[:n_leaf]
+    acc = jnp.sum(pair_accel(dx, r2, m_s[:, :, None, :], eps, split_radius),
+                  axis=(1, 3))
+    return acc
 
 
 def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):

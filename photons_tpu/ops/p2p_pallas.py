@@ -251,20 +251,21 @@ def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
 # engine entry
 # ---------------------------------------------------------------------------
 
-def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
-               boxsize: Optional[float], layout: str = "redundant",
-               neighbor_cap: Optional[int] = None,
-               interpret: Optional[bool] = None):
-    """P2P via a Pallas kernel -> per-particle acc (nleaf, S, 3).
-
-    Drop-in replacement for ops.fmm_engine.p2p_jnp.
-    """
+def p2p_prepare(tree, lists, mass: float,
+                boxsize: Optional[float], layout: str = "redundant",
+                neighbor_cap: Optional[int] = None):
+    """The 'collect' phase (dtime_p2p_collect analogue): build the kernel's
+    input layout from the tree + neighbor table.  Returns a dict of arrays
+    consumed by :func:`p2p_compute`."""
     n_leaf, s = tree.pos.shape[:2]
-    # per-leaf counts are skewed (clustering): give the table 2x the mean
-    # capacity and surface truncation as an overflow flag
-    cap = neighbor_cap or max(32, 2 * (lists.p2p.shape[0] // n_leaf))
-    cap = -(-cap // LANES) * LANES      # lane-aligned rows (DMA granularity)
-    table, overflow = neighbor_table(lists.p2p, n_leaf, cap)
+    # the traversal emits the per-leaf neighbor table directly (rows are
+    # front-packed, -1 padded); truncation there is already surfaced via
+    # lists.overflow.  Optionally tighten/lane-align the column count.
+    table = lists.p2p
+    overflow = jnp.asarray(False)
+    if neighbor_cap is not None and neighbor_cap < table.shape[1]:
+        overflow = jnp.any(table[:, neighbor_cap:] >= 0)
+        table = table[:, :neighbor_cap]
 
     planes = jnp.moveaxis(tree.pos, -1, 1)              # (nleaf, 3, S)
     masses = jnp.where(tree.mask, mass, 0.0).astype(tree.pos.dtype)
@@ -277,12 +278,49 @@ def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
         tgt_rel = planes - centers[:, :, None]
         used = jnp.sum(table >= 0, axis=1) * s
         chunk_counts = -(-used // LANES)
-        acc = p2p_redundant(tgt_rel, masses, src_planes, src_mass,
-                            eps=eps, rs=rs, boxsize=boxsize,
-                            chunk_counts=chunk_counts, interpret=interpret)
+        return {"layout": layout, "tgt": tgt_rel, "masses": masses,
+                "src_planes": src_planes, "src_mass": src_mass,
+                "chunk_counts": chunk_counts, "overflow": overflow}
     elif layout == "indexing":
-        acc = p2p_indexing(planes, masses, table, eps=eps, rs=rs,
-                           boxsize=boxsize, interpret=interpret)
+        # lane-align the table row (SMEM DMA granularity: 128 int32 = 512 B)
+        k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
+        if k_pad:
+            table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
+        return {"layout": layout, "planes": planes, "masses": masses,
+                "table": table, "overflow": overflow}
+    raise ValueError(f"unknown P2P layout {layout!r}")
+
+
+def p2p_compute(prepared, eps: float, rs: Optional[float],
+                boxsize: Optional[float],
+                interpret: Optional[bool] = None):
+    """The kernel phase (dtime_p2p_self analogue) over a prepared layout.
+
+    Returns per-particle acc (nleaf, S, 3)."""
+    if prepared["layout"] == "redundant":
+        acc = p2p_redundant(prepared["tgt"], prepared["masses"],
+                            prepared["src_planes"], prepared["src_mass"],
+                            eps=eps, rs=rs, boxsize=boxsize,
+                            chunk_counts=prepared["chunk_counts"],
+                            interpret=interpret)
     else:
-        raise ValueError(f"unknown P2P layout {layout!r}")
-    return jnp.moveaxis(acc, 1, -1), overflow           # (nleaf, S, 3)
+        acc = p2p_indexing(prepared["planes"], prepared["masses"],
+                           prepared["table"], eps=eps, rs=rs,
+                           boxsize=boxsize, interpret=interpret)
+    return jnp.moveaxis(acc, 1, -1)                     # (nleaf, S, 3)
+
+
+def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
+               boxsize: Optional[float], layout: str = "redundant",
+               neighbor_cap: Optional[int] = None,
+               interpret: Optional[bool] = None):
+    """P2P via a Pallas kernel -> per-particle acc (nleaf, S, 3).
+
+    Drop-in replacement for ops.fmm_engine.p2p_jnp (= prepare + compute;
+    split out so the phase profiler can time collect vs kernel separately,
+    the reference's dtime_p2p_collect / dtime_p2p_self distinction).
+    """
+    prepared = p2p_prepare(tree, lists, mass, boxsize, layout=layout,
+                           neighbor_cap=neighbor_cap)
+    acc = p2p_compute(prepared, eps, rs, boxsize, interpret=interpret)
+    return acc, prepared["overflow"]

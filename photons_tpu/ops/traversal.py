@@ -1,15 +1,22 @@
-"""Vectorized dual-tree traversal (interaction-list construction).
+"""Vectorized dual-tree traversal (interaction-table construction).
 
 The reference walks the tree pair recursively on the host
 (walk_task_p2p / walk_task_m2l, fmm.c:402-534,562-705), emitting P2P tasks
 for leaf pairs that keep failing the MAC and M2L tasks for accepted pairs.
 On TPU the same partition of the interaction set is computed as a
-**level-synchronized frontier sweep**: the frontier at depth d holds all
-still-open (target, source) node pairs at that depth; each sweep expands
-every pair into its 4 child pairs, classifies them with the vectorized MAC,
-appends accepted pairs to that level's M2L list, and carries open pairs
-down.  Open pairs at the leaf level are the P2P list.  Everything is
-fixed-capacity + masked, so the whole traversal jits and differentiates.
+**level-synchronized frontier sweep organized per target node**: each
+target node at depth d owns a fixed-capacity row of still-open source
+nodes.  Expanding to depth d+1, each target child inherits the children of
+its parent's open sources (2*open_cap candidates), classifies them with the
+vectorized MAC, packs accepts into that level's M2L table and still-open
+sources into its own row.  Open rows at the leaf level ARE the per-leaf
+P2P neighbor table -- exactly the layout the P2P kernels consume.
+
+The per-row organization is the TPU-shaped choice: compaction is a batched
+stable sort along a short row axis (no global million-row cumsum+scatter,
+which dominated whole-step time beyond ~1M particles), M2L application
+becomes a dense gather+reduce with exclusive row ownership (no scatter-add),
+and the P2P table needs no post-hoc argsort regrouping.
 
 MAC semantics follow ``acceptance`` (fmm.c:266-325) exactly:
 
@@ -35,21 +42,24 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
+from photons_tpu.ops.kernels import min_image as _min_image
 from photons_tpu.tree.build import Tree
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class InteractionLists:
-    """Padded interaction lists; invalid slots hold index -1.
+    """Per-target-node interaction tables; invalid slots hold index -1.
 
-    m2l        tuple over depths 1..D of (cap_d, 2) int32 pair arrays
+    m2l        tuple over depths 1..D of (2^d, cap_d) int32 source-node
+               tables (row t = sources accepted for target node t)
     m2l_counts tuple of scalars (valid pairs per depth)
-    p2p        (cap_p2p, 2) int32 leaf pairs (includes the diagonal)
-    p2p_count  scalar
-    overflow   bool -- any capacity exceeded (results incomplete; enlarge
-               caps and recompile, SURVEY.md section 7 'hard parts')
+    p2p        (n_leaf, p2p_cap) int32 source-leaf table (incl. diagonal)
+    p2p_count  scalar (total valid leaf pairs)
+    overflow   bool -- any per-row capacity exceeded (results incomplete;
+               enlarge caps and recompile, SURVEY.md section 7 'hard parts')
     """
 
     m2l: Tuple[jax.Array, ...]
@@ -81,17 +91,19 @@ def acceptance_flags(dist, w_t, w_s, count_t, count_s, theta: float,
     return flags
 
 
-def _compact(pairs, mask, cap: int):
-    """Pack masked rows of ``pairs`` into a (cap, 2) array; count + overflow."""
-    idx = jnp.cumsum(mask) - 1
-    dest = jnp.where(mask, idx, cap)                # cap -> dropped
-    out = jnp.full((cap, 2), -1, jnp.int32)
-    out = out.at[dest].set(pairs, mode="drop")
-    count = jnp.sum(mask)
-    return out, count, count > cap
+def _row_compact(vals, mask, cap: int):
+    """Pack masked entries of each row to the front, truncated at ``cap``.
 
-
-from photons_tpu.ops.kernels import min_image as _min_image
+    vals/mask (R, K) -> packed (R, cap) with -1 padding, total count,
+    overflow flag.  One batched stable sort along the short row axis --
+    the TPU-friendly primitive (no scatter, no global cumsum).
+    """
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    vals_m = jnp.where(mask, vals, -1).astype(jnp.int32)
+    _, packed = lax.sort((key, vals_m), dimension=1, is_stable=True,
+                         num_keys=1)
+    counts = jnp.sum(mask, axis=1)
+    return packed[:, :cap], jnp.sum(counts), jnp.any(counts > cap)
 
 
 @partial(jax.jit, static_argnames=("theta", "cutoff", "boxsize",
@@ -103,10 +115,9 @@ def dual_tree_traversal(tree: Tree, theta: float,
                         open_cap: int = 256, m2l_cap: int = 128,
                         p2p_cap: int = 192,
                         adjacency_eps: float = 1e-4) -> InteractionLists:
-    """Build M2L (per level) and P2P pair lists for a balanced tree.
+    """Build per-node M2L tables (per level) and the per-leaf P2P table.
 
-    open_cap/m2l_cap are per-node capacities (scaled by 2^d per level);
-    p2p_cap is the per-leaf capacity.
+    open_cap / m2l_cap / p2p_cap are strict per-target-node capacities.
     """
     return dual_tree_traversal_pair(
         tree.centers, tree.widths, tree.counts,
@@ -136,28 +147,37 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
     cover everything nearer than its acceptance horizon).
     """
     depth = len(centers_t) - 1
-    frontier = jnp.zeros((1, 2), jnp.int32)         # the (root, root) pair
-    f_count = jnp.asarray(1, jnp.int32)
     overflow = jnp.asarray(False)
-
-    m2l_lists = []
+    m2l_tables = []
     m2l_counts = []
 
-    for d in range(depth):
-        nd1 = 2 ** (d + 1)
-        # expand each pair into 4 child pairs at depth d+1
-        kids_t = (frontier[:, 0:1] * 2 + jnp.array([[0, 0, 1, 1]], jnp.int32))
-        kids_s = (frontier[:, 1:2] * 2 + jnp.array([[0, 1, 0, 1]], jnp.int32))
-        cand = jnp.stack([kids_t.reshape(-1), kids_s.reshape(-1)], axis=-1)
-        valid = (jnp.arange(frontier.shape[0]) < f_count)
-        valid = jnp.repeat(valid, 4)
+    if depth == 0:
+        # single-leaf tree: the (root, root) pair is one P2P task
+        nonempty = (counts_t[0][0] > 0) & (counts_s[0][0] > 0)
+        p2p = jnp.where(nonempty, jnp.zeros((1, 1), jnp.int32), -1)
+        return InteractionLists(m2l=(), m2l_counts=(), p2p=p2p,
+                                p2p_count=nonempty.astype(jnp.int32),
+                                overflow=overflow)
 
-        t, s = cand[:, 0], cand[:, 1]
-        dist = _min_image(centers_t[d + 1][t] - centers_s[d + 1][s], boxsize)
-        flags = acceptance_flags(dist, widths_t[d + 1][t],
-                                 widths_s[d + 1][s], counts_t[d + 1][t],
-                                 counts_s[d + 1][s],
-                                 theta, cutoff, adjacency_eps)
+    open_src = jnp.zeros((1, 1), jnp.int32)     # root target: source root
+
+    for d in range(depth):
+        n_t = 2 ** (d + 1)
+        # target children inherit the children of the parent's open sources
+        parent_open = jnp.repeat(open_src, 2, axis=0)        # (n_t, K)
+        alive = parent_open >= 0
+        left = jnp.where(alive, parent_open * 2, -1)
+        right = jnp.where(alive, parent_open * 2 + 1, -1)
+        cand = jnp.concatenate([left, right], axis=1)        # (n_t, 2K)
+        valid = cand >= 0
+        safe = jnp.maximum(cand, 0)
+
+        dist = _min_image(
+            centers_t[d + 1][:, None, :] - centers_s[d + 1][safe], boxsize)
+        flags = acceptance_flags(
+            dist, widths_t[d + 1][:, None, :], widths_s[d + 1][safe],
+            counts_t[d + 1][:, None], counts_s[d + 1][safe],
+            theta, cutoff, adjacency_eps)
         flags = jnp.where(valid, flags, -1)
 
         last = (d + 1 == depth)
@@ -165,18 +185,18 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         if last and leaf_unresolved == "m2l":
             accept = flags >= 0                     # force-accept leftovers
 
-        cap_m2l = min(4 ** (d + 1), m2l_cap * nd1)
-        lst, cnt, ovf = _compact(cand, accept, cap_m2l)
-        m2l_lists.append(lst)
+        kcand = cand.shape[1]
+        tbl, cnt, ovf = _row_compact(cand, accept, min(kcand, m2l_cap))
+        m2l_tables.append(tbl)
         m2l_counts.append(cnt)
         overflow |= ovf
 
-        cap_open = p2p_cap * nd1 if last else min(4 ** (d + 1),
-                                                  open_cap * nd1)
-        frontier, f_count, ovf = _compact(cand, flags == 0, cap_open)
-        overflow |= (ovf if not (last and leaf_unresolved == "m2l")
-                     else jnp.asarray(False))
+        cap_open = min(kcand, p2p_cap if last else open_cap)
+        open_src, o_cnt, ovf = _row_compact(cand, flags == 0, cap_open)
+        if not (last and leaf_unresolved == "m2l"):
+            overflow |= ovf
 
-    return InteractionLists(m2l=tuple(m2l_lists), m2l_counts=tuple(m2l_counts),
-                            p2p=frontier, p2p_count=f_count,
+    return InteractionLists(m2l=tuple(m2l_tables),
+                            m2l_counts=tuple(m2l_counts),
+                            p2p=open_src, p2p_count=o_cnt,
                             overflow=overflow)

@@ -208,7 +208,8 @@ class Simulation:
             a_final: Optional[float] = None,
             snapshot_times: Optional[Tuple[float, ...]] = None,
             callback=None, adaptive: bool = False, eta: float = 0.025,
-            max_level: int = 6, check_interval: int = 8):
+            max_level: int = 6, check_interval: int = 8,
+            profile_interval: Optional[int] = None):
         """Run the KDK loop from the current scale factor.
 
         adaptive: refine each macro step into 2^k KDK substeps chosen from
@@ -216,6 +217,12 @@ class Simulation:
         reference declares this capability but ships no implementation --
         inc/adaptive.h:12-20, adaptive_level_maximum logged but never set,
         photoNs.h:39).
+
+        profile_interval: every k-th sync, additionally run the
+        phase-decomposed force pipeline (photons_tpu.profiling) so the run
+        log carries the reference's real phase-timer taxonomy
+        (utility.c:8-48).  Defaults to one profile per check window when a
+        run log is attached, else off.
         """
         cfg = self.cfg
         n_steps = n_steps if n_steps is not None else cfg.n_steps
@@ -243,14 +250,23 @@ class Simulation:
                     raise
                 self._grow_capacities()
 
+        if profile_interval is None and self.log is not None:
+            profile_interval = 1            # one phase profile per window
+        profiler = None
+        if profile_interval:
+            from photons_tpu.profiling import PhaseProfiler
+            profiler = PhaseProfiler(self.cfg, self.engine)
+
         self.max_adaptive_level = 0
         # rollback point for elastic capacity recovery: results between
         # verified syncs are invalid if an overflow is detected
         verified_state, verified_i = self.state, 0
         pending_ovf = False
+        pending_rows = []        # buffered log rows, flushed at each sync
+        window_t0 = time.perf_counter()
+        windows_done = 0
         i = 0
         while i < n_steps:
-            t0 = time.perf_counter()
             if adaptive:
                 level = self._adaptive_level(float(dk[i]), eta, max_level)
                 self.max_adaptive_level = max(self.max_adaptive_level, level)
@@ -273,8 +289,6 @@ class Simulation:
                 self.state, diag = self._step_fn(
                     self.state, float(dk[i]), float(dd[i]),
                     float(a_grid[i + 1]))
-            dt = time.perf_counter() - t0
-            self.timers.add("step", dt)
             a_now = float(a_grid[i + 1])
             # accumulate the overflow flag ON DEVICE across the whole
             # check window (a transient overflow in any step invalidates
@@ -287,11 +301,21 @@ class Simulation:
             # only materialize diagnostics every check_interval steps, on
             # the last step, and before any snapshot is written (snapshots
             # must never be taken from an unverified state)
+            # one row per step (photoNs.c:318); counters/timers only refresh
+            # at syncs, so rows are buffered and flushed with honest
+            # window-averaged wall-clock (axon dispatch returns instantly,
+            # so per-step time.perf_counter deltas measure nothing)
+            pending_rows.append((i, a_now))
+
             snap_due = bool(snap_left) and a_now >= snap_left[0] - 1e-12
-            if (i % check_interval == check_interval - 1
-                    or i == n_steps - 1 or snap_due):
+            sync = (i % check_interval == check_interval - 1
+                    or i == n_steps - 1 or snap_due)
+            if sync:
                 try:
-                    jax.block_until_ready(self.state.pos)
+                    # real completion fence: host-read one element (axon's
+                    # block_until_ready can return before remote execution
+                    # finishes; a data-dependent read cannot)
+                    float(self.state.pos[0, 0])
                     self._check_diag(diag)
                     verified_state, verified_i = self.state, i + 1
                     pending_ovf = False
@@ -300,24 +324,40 @@ class Simulation:
                     if retries > max_retries:
                         raise
                     # grow, recompile, roll back, replay (snap_left was not
-                    # popped, so due snapshots re-emit from the replay; log
-                    # rows for replayed steps repeat, which the run log
-                    # tolerates)
+                    # popped, so due snapshots re-emit from the replay; the
+                    # invalid window's buffered log rows are discarded and
+                    # re-emitted by the replay)
                     self._grow_capacities()
                     self.state = verified_state
                     pending_ovf = False
                     i = verified_i
+                    pending_rows = []
+                    window_t0 = time.perf_counter()
                     continue
+
+                window_wall = time.perf_counter() - window_t0
+                step_avg = window_wall / max(1, len(pending_rows))
+                for _ in pending_rows:
+                    self.timers.add("step", step_avg)
+                if (profiler is not None
+                        and windows_done % profile_interval == 0):
+                    profiler.profile(self.state.pos, self.timers)
+                windows_done += 1
+                if self.log is not None:
+                    phases = self.timers.latest()
+                    for ri, ra in pending_rows:
+                        self.log.log_step(
+                            ri, ra, {**phases, "step": step_avg},
+                            n_p2p=self.last_diag.get("n_p2p", 0),
+                            n_m2l=self.last_diag.get("n_m2l", 0))
+                pending_rows = []
 
             while snap_left and a_now >= snap_left[0] - 1e-12:
                 self.write_snapshot(snap_left.pop(0))
-            if self.log is not None:
-                self.log.log_step(i, a_now, {**self.timers.snapshot(),
-                                             "step": dt},
-                                  n_p2p=self.last_diag.get("n_p2p", 0),
-                                  n_m2l=self.last_diag.get("n_m2l", 0))
             if callback is not None:
                 callback(i, self)
+            if sync:
+                window_t0 = time.perf_counter()
             i += 1
         return self.state
 

@@ -40,6 +40,7 @@ class PhaseTimers:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.last: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def measure(self, phase: str, *sync_arrays):
@@ -49,19 +50,24 @@ class PhaseTimers:
         finally:
             for arr in sync_arrays:
                 jax.block_until_ready(arr)
-            self.totals[phase] += time.perf_counter() - t0
-            self.counts[phase] += 1
+            self.add(phase, time.perf_counter() - t0)
 
     def add(self, phase: str, seconds: float):
         self.totals[phase] += seconds
         self.counts[phase] += 1
+        self.last[phase] = seconds
 
     def reset(self):
         self.totals.clear()
         self.counts.clear()
+        self.last.clear()
 
     def snapshot(self) -> Dict[str, float]:
         return dict(self.totals)
+
+    def latest(self) -> Dict[str, float]:
+        """Most recent measurement per phase (per-step log row values)."""
+        return dict(self.last)
 
     def report(self) -> str:
         lines = [f"  {k:>14s}: {self.totals[k]:9.4f} s  (x{self.counts[k]})"

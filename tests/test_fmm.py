@@ -67,15 +67,16 @@ def test_traversal_covers_every_leaf_pair_exactly_once():
     depth = t.depth
     cover = np.zeros((n_leaf, n_leaf), np.int32)
 
-    p2p = np.asarray(lists.p2p)
-    for a, b in p2p[p2p[:, 0] >= 0]:
-        cover[a, b] += 1
-    for lvl, pairs in enumerate(lists.m2l):
+    p2p = np.asarray(lists.p2p)                # (n_leaf, cap) table
+    for a, b in zip(*np.nonzero(p2p >= 0)):
+        cover[a, p2p[a, b]] += 1
+    for lvl, tbl in enumerate(lists.m2l):
         d = lvl + 1
         span = n_leaf >> d                     # leaves under a depth-d node
-        arr = np.asarray(pairs)
-        for a, b in arr[arr[:, 0] >= 0]:
-            cover[a * span:(a + 1) * span, b * span:(b + 1) * span] += 1
+        arr = np.asarray(tbl)                  # (2^d, cap) table
+        for a, b in zip(*np.nonzero(arr >= 0)):
+            s = arr[a, b]
+            cover[a * span:(a + 1) * span, s * span:(s + 1) * span] += 1
     # no cutoff -> nothing discarded: every nonempty pair covered once
     counts = np.asarray(t.counts[-1])
     ok = np.outer(counts > 0, counts > 0)

@@ -22,6 +22,13 @@ def _pairs_set(pairs):
                    .tolist()))
 
 
+def _table_set(table):
+    """Per-target table (R, cap) -> set of (target, source) pairs."""
+    t = np.asarray(table)
+    rows, cols = np.nonzero(t >= 0)
+    return set(zip(rows.tolist(), t[rows, cols].tolist()))
+
+
 @pytest.mark.parametrize("cutoff,box", [(None, None), (8.789, L)])
 def test_native_traversal_matches_jitted(cutoff, box):
     rng = np.random.default_rng(0)
@@ -32,9 +39,9 @@ def test_native_traversal_matches_jitted(cutoff, box):
                                 adjacency_eps=1e-9 * L)
     m2l, m2l_lv, p2p = native_traversal(tree, 0.4, cutoff, box, 1e-9 * L)
 
-    assert _pairs_set(p2p) == _pairs_set(lists.p2p)
-    for lvl, pairs in enumerate(lists.m2l):
-        dev = _pairs_set(pairs)
+    assert _pairs_set(p2p) == _table_set(lists.p2p)
+    for lvl, tbl in enumerate(lists.m2l):
+        dev = _table_set(tbl)
         nat = _pairs_set(m2l[m2l_lv == lvl + 1])
         assert nat == dev, f"level {lvl + 1} mismatch"
 
