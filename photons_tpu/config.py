@@ -59,6 +59,8 @@ class SimConfig:
 
     # --- parallelism -------------------------------------------------------
     n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)
+    n_proc_vertical: int = 0            # NprocVertical: x extent of the 2-D
+    n_proc_horizon: int = 0             # NprocHorizon: y extent; 0 0 = auto
     shard_capacity_factor: float = 2.0  # per-shard particle padding factor
     ghost_cap_factor: float = 1.0       # ghost buffer size / shard capacity
     send_cap_factor: float = 0.5        # migration buffer size / capacity
@@ -137,8 +139,8 @@ _KEYMAP = {
     "NUMMESHSIDE": ("n_side", int),
     "MAXPACKAGE": ("leaf_size", int),
     "NUMTHREAD": (None, int),           # accepted, unused on TPU
-    "NPROCVERTICAL": (None, int),       # accepted; mesh shape picked at runtime
-    "NPROCHORIZON": (None, int),
+    "NPROCVERTICAL": ("n_proc_vertical", int),   # 2-D process grid shape
+    "NPROCHORIZON": ("n_proc_horizon", int),     # (initial.c:253-254)
 }
 
 

@@ -27,10 +27,9 @@ def save_checkpoint(path: str, cfg: SimConfig, state, shard: int = 0) -> str:
     fname = f"{path}.ckpt.{shard}.npz"
     arrays = {k: np.asarray(getattr(state, k)) for k in _FIELDS}
     arrays["a"] = np.asarray(state.a)
-    if hasattr(state, "valid"):
-        arrays["valid"] = np.asarray(state.valid)
-    if hasattr(state, "bounds"):
-        arrays["bounds"] = np.asarray(state.bounds)
+    for opt in ("valid", "bounds", "xbounds", "ybounds"):
+        if hasattr(state, opt):
+            arrays[opt] = np.asarray(getattr(state, opt))
     cfg_json = json.dumps(dataclasses.asdict(cfg))
     np.savez(fname, __config__=np.frombuffer(cfg_json.encode(), np.uint8),
              **arrays)

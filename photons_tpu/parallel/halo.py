@@ -57,17 +57,21 @@ def gather_ghosts(pos, valid, bounds, cutoff: float, boxsize: float,
     ghost_val = []
     overflow = jnp.asarray(False)
 
-    for h in range(1, n_hops + 1):
-        for sign in (+1, -1):
-            tgt = (me + sign * h) % d_size          # shard we send to
-            lo, hi = bounds[tgt], bounds[tgt + 1]
-            near = valid & (_slab_distance(pos[:, 0], lo, hi, boxsize)
-                            < cutoff)
-            buf, val, ovf = _pack(pos, near, ghost_cap)
-            overflow |= ovf
-            perm = [(i, (i + sign * h) % d_size) for i in range(d_size)]
-            ghost_pos.append(lax.ppermute(buf, axis, perm))
-            ghost_val.append(lax.ppermute(val, axis, perm))
+    # unique ring offsets only: for small rings +h and -h can name the SAME
+    # neighbor (d=2: me+1 == me-1 mod 2), which would deliver the ghost
+    # buffer twice and double-count its forces
+    offsets = [k for k in range(1, d_size)
+               if min(k, d_size - k) <= n_hops]
+    for k in offsets:
+        tgt = (me + k) % d_size                 # shard we send to
+        lo, hi = bounds[tgt], bounds[tgt + 1]
+        near = valid & (_slab_distance(pos[:, 0], lo, hi, boxsize)
+                        < cutoff)
+        buf, val, ovf = _pack(pos, near, ghost_cap)
+        overflow |= ovf
+        perm = [(i, (i + k) % d_size) for i in range(d_size)]
+        ghost_pos.append(lax.ppermute(buf, axis, perm))
+        ghost_val.append(lax.ppermute(val, axis, perm))
 
     # geometric completeness: the first unserved hop must be beyond cutoff
     if n_hops < d_size - 1:
@@ -89,3 +93,88 @@ def gather_ghosts(pos, valid, bounds, cutoff: float, boxsize: float,
 
     return (jnp.concatenate(ghost_pos), jnp.concatenate(ghost_val),
             overflow, halo_insufficient)
+
+
+def _brick_near(pos, xb_lo, xb_hi, yb_lo, yb_hi, cutoff, boxsize, valid):
+    """Mask of particles within ``cutoff`` (Euclidean) of an (x, y) brick."""
+    gx = _slab_distance(pos[:, 0], xb_lo, xb_hi, boxsize)
+    gy = _slab_distance(pos[:, 1], yb_lo, yb_hi, boxsize)
+    return valid & (gx * gx + gy * gy < cutoff * cutoff)
+
+
+def gather_ghosts_2d(pos, valid, xbounds, ybounds, cutoff: float,
+                     boxsize: float, ghost_cap: int, hops_x: int,
+                     hops_y: int, ax: str, ay: str):
+    """2-D brick halo: collect neighbor-brick particles within ``cutoff``.
+
+    The hop set is every unique grid offset (kx, ky) != (0, 0) whose
+    min-image hop distance fits (hops_x, hops_y) -- including corners (the
+    reference's ring visits all P ranks; the 2-D grid only needs the
+    interaction surface).  Each hop is one ppermute over ax composed with
+    one over ay (a rigid grid translation).
+    """
+    dx = lax.axis_size(ax)
+    dy = lax.axis_size(ay)
+    ix = lax.axis_index(ax)
+    iy = lax.axis_index(ay)
+
+    ghost_pos, ghost_val = [], []
+    overflow = jnp.asarray(False)
+
+    offs = [(kx, ky)
+            for kx in range(dx) for ky in range(dy)
+            if (kx, ky) != (0, 0)
+            and min(kx, dx - kx) <= hops_x and min(ky, dy - ky) <= hops_y]
+    for kx, ky in offs:
+        tx = (ix + kx) % dx
+        ty = (iy + ky) % dy
+        near = _brick_near(pos, xbounds[tx], xbounds[tx + 1],
+                           ybounds[ty], ybounds[ty + 1],
+                           cutoff, boxsize, valid)
+        buf, val, ovf = _pack(pos, near, ghost_cap)
+        overflow |= ovf
+        if kx:
+            permx = [(i, (i + kx) % dx) for i in range(dx)]
+            buf = lax.ppermute(buf, ax, permx)
+            val = lax.ppermute(val, ax, permx)
+        if ky:
+            permy = [(i, (i + ky) % dy) for i in range(dy)]
+            buf = lax.ppermute(buf, ay, permy)
+            val = lax.ppermute(val, ay, permy)
+        ghost_pos.append(buf)
+        ghost_val.append(val)
+
+    # geometric completeness: every unserved offset's brick must lie fully
+    # beyond the cutoff of mine (checked against the worst pair of bricks
+    # at that offset, since bounds are shared grid lines)
+    unserved = [(kx, ky)
+                for kx in range(dx) for ky in range(dy)
+                if (kx, ky) != (0, 0) and (kx, ky) not in set(offs)]
+    bad = jnp.asarray(False)
+    for kx, ky in unserved:
+        # min over all source bricks of the gap between brick (i,j) and
+        # brick (i+kx, j+ky): evaluate for my brick (symmetric enough
+        # because the grid lines are global)
+        sx = (ix + kx) % dx
+        sy = (iy + ky) % dy
+        gx = _gap(xbounds[ix], xbounds[ix + 1], xbounds[sx], xbounds[sx + 1],
+                  boxsize)
+        gy = _gap(ybounds[iy], ybounds[iy + 1], ybounds[sy], ybounds[sy + 1],
+                  boxsize)
+        bad = bad | (gx * gx + gy * gy < cutoff * cutoff)
+    # any() over the grid: a single brick pair within reach flags everyone
+    bad = lax.pmax(bad.astype(jnp.int32), (ax, ay)).astype(bool)
+
+    if ghost_pos:
+        return (jnp.concatenate(ghost_pos), jnp.concatenate(ghost_val),
+                overflow, bad)
+    z = jnp.zeros((0, 3), pos.dtype)
+    return z, jnp.zeros((0,), bool), overflow, bad
+
+
+def _gap(lo_a, hi_a, lo_b, hi_b, boxsize):
+    """Min-image gap between two intervals."""
+    ca, cb = 0.5 * (lo_a + hi_a), 0.5 * (lo_b + hi_b)
+    d = jnp.abs(ca - cb)
+    d = jnp.minimum(d, boxsize - d)
+    return jnp.maximum(d - 0.5 * (hi_a - lo_a) - 0.5 * (hi_b - lo_b), 0.0)

@@ -19,17 +19,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def migrate(arrays, valid, bounds, send_cap: int, axis: str):
-    """Route particles to the shard owning their x-slab.
+def migrate(arrays, valid, bounds, send_cap: int, axis: str, coord: int = 0):
+    """Route particles to the shard owning their slab along ``coord``.
 
     arrays: tuple of (cap, k) row-aligned arrays (pos, vel, ...); routing is
-    by arrays[0][:, 0] (the x coordinate).  bounds: replicated (D+1,).
+    by arrays[0][:, coord].  bounds: replicated (D+1,).
     Returns (new_arrays, new_valid, overflow).
     """
     d = lax.axis_size(axis)
     me = lax.axis_index(axis)
     cap = valid.shape[0]
-    x = arrays[0][:, 0]
+    x = arrays[0][:, coord]
 
     dest = jnp.searchsorted(bounds[1:d], x, side="right").astype(jnp.int32)
     dest = jnp.where(valid, dest, me)
@@ -67,3 +67,16 @@ def migrate(arrays, valid, bounds, send_cap: int, axis: str):
     new_arrays = tuple(a[order2] for a in merged)
     overflow |= jnp.sum(merged_valid) > cap
     return new_arrays, new_valid, overflow
+
+
+def migrate_2d(arrays, valid, xbounds, ybounds, send_cap: int,
+               ax: str, ay: str):
+    """Route particles to the brick owning their (x, y) cell: two staged
+    1-D exchanges (x columns first, then y within the column) -- the
+    standard 2-D grid factorization of the reference's Alltoallv
+    (domains.c:298-377)."""
+    arrays, valid, ovf_x = migrate(arrays, valid, xbounds, send_cap, ax,
+                                   coord=0)
+    arrays, valid, ovf_y = migrate(arrays, valid, ybounds, send_cap, ay,
+                                   coord=1)
+    return arrays, valid, ovf_x | ovf_y

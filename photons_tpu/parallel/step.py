@@ -1,20 +1,25 @@
-"""Multi-chip KDK step: SPMD over a 1-D device mesh (spatial slabs).
+"""Multi-chip KDK step: SPMD over a 2-D device mesh (spatial bricks).
 
 This is the reference's per-step distributed sequence (photoNs.c:146-339)
-re-architected for the ICI mesh:
+re-architected for the ICI mesh, with the reference's 2-D process grid
+(NprocVertical x NprocHorizon, initial.c:253-254,461-472):
 
   kick/drift (elementwise, sharded)
-  -> migrate particles to their slab owners       (domains.c Alltoallv)
-  -> ghost halo exchange over the ring            (fmm_remote ring)
+  -> migrate particles to their brick owners       (domains.c Alltoallv,
+     staged x-then-y over the two mesh axes)
+  -> ghost halo exchange over the grid             (fmm_remote ring)
   -> per-shard tree + traversal + P2P + M2L + L2L + L2P
-  -> slab-painted density -> pencil FFT Poisson   (partmesh + 2DECOMP)
+  -> brick-painted density -> 2-D pencil FFT Poisson (partmesh + 2DECOMP)
   -> all_gather potential, gradient + CIC readout
   -> closing kick
 
 The whole step is ONE jitted function over sharded arrays; every collective
-(`all_to_all`, `ppermute`, `psum`, `all_gather`) rides the mesh axis.
-Per-step load rebalancing moves the slab boundaries toward equal measured
-cost (idxP2P+idxM2L metric, fmm.c:1139; relaxation 0.3, domains.c:86-144).
+(`all_to_all`, `ppermute`, `psum`, `all_gather`) rides the mesh axes.
+Per-step load rebalancing moves the grid lines toward equal measured
+cost (idxP2P+idxM2L metric, fmm.c:1139; relaxation 0.3, domains.c:86-144)
+along both axes independently (the marginals of the brick cost matrix).
+
+A 1-D slab decomposition is the dy == 1 special case of the same code.
 """
 
 from __future__ import annotations
@@ -32,44 +37,75 @@ from jax.experimental.shard_map import shard_map
 
 from photons_tpu.config import SimConfig
 from photons_tpu.ops.fmm_engine import fmm_forces
-from photons_tpu.parallel.fft import green_function_yslice, pencil_poisson
-from photons_tpu.parallel.halo import gather_ghosts
-from photons_tpu.parallel.migrate import migrate
+from photons_tpu.parallel.fft import (green_function_pencil2d,
+                                      pencil_poisson_2d)
+from photons_tpu.parallel.halo import gather_ghosts_2d
+from photons_tpu.parallel.migrate import migrate_2d
 from photons_tpu.pm.mesh import cic_paint, cic_read_vector
 from photons_tpu.pm.solver import gradient_4th
 
-AXIS = "x"
+AXX = "x"
+AXY = "y"
+AXES = (AXX, AXY)
+
+
+def as_grid_mesh(mesh: Mesh, cfg: Optional[SimConfig] = None) -> Mesh:
+    """Coerce a mesh to the 2-D (x, y) process grid.
+
+    1-D meshes become (D, 1) unless the config carries the reference's
+    NprocVertical/NprocHorizon keys (initial.c:253-254), which then fix the
+    grid shape."""
+    if len(mesh.axis_names) == 2:
+        return mesh
+    devs = mesh.devices.reshape(-1)
+    d = devs.size
+    if cfg is not None and cfg.n_proc_vertical > 0 and cfg.n_proc_horizon > 0:
+        dx, dy = cfg.n_proc_vertical, cfg.n_proc_horizon
+        if dx * dy != d:
+            raise ValueError(
+                f"NprocVertical*NprocHorizon = {dx}*{dy} != {d} devices")
+    else:
+        dx, dy = d, 1
+    return Mesh(devs.reshape(dx, dy), AXES)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShardedState:
-    """Capacity-padded particle state, sharded on the leading axis.
+    """Capacity-padded particle state, sharded on the leading axis over
+    both mesh axes (brick k = device (k // dy, k % dy)).
 
-    pos/vel/acc/acc_pm: (D*cap, 3); valid: (D*cap,); bounds: (D+1,) slab
-    boundaries (replicated); a: scale factor."""
+    pos/vel/acc/acc_pm: (Dx*Dy*cap, 3); valid: (Dx*Dy*cap,);
+    xbounds: (Dx+1,) / ybounds: (Dy+1,) grid lines (replicated); a."""
 
     pos: jax.Array
     vel: jax.Array
     acc: jax.Array
     acc_pm: jax.Array
     valid: jax.Array
-    bounds: jax.Array
+    xbounds: jax.Array
+    ybounds: jax.Array
     a: jax.Array
 
 
 def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
-    """Distribute global particle arrays into slab-owned padded shards."""
-    d = mesh.devices.size
+    """Distribute global particle arrays into brick-owned padded shards."""
+    mesh = as_grid_mesh(mesh, cfg)
+    dx, dy = mesh.devices.shape
+    d = dx * dy
     dtype = jnp.dtype(cfg.dtype)
     n = pos.shape[0]
     cap = int(np.ceil(n / d * cfg.shard_capacity_factor))
-    bounds = np.linspace(0.0, cfg.boxsize, d + 1)
+    xb = np.linspace(0.0, cfg.boxsize, dx + 1)
+    yb = np.linspace(0.0, cfg.boxsize, dy + 1)
 
     pos = np.asarray(pos)
     vel = np.asarray(vel)
-    owner = np.clip(np.searchsorted(bounds[1:d], pos[:, 0], side="right"),
-                    0, d - 1)
+    ox = np.clip(np.searchsorted(xb[1:dx], pos[:, 0], side="right"),
+                 0, dx - 1)
+    oy = np.clip(np.searchsorted(yb[1:dy], pos[:, 1], side="right"),
+                 0, dy - 1)
+    owner = ox * dy + oy
     pos_p = np.zeros((d * cap, 3), dtype)
     vel_p = np.zeros((d * cap, 3), dtype)
     val_p = np.zeros((d * cap,), bool)
@@ -82,7 +118,7 @@ def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
         vel_p[i * cap:i * cap + k] = vel[sel]
         val_p[i * cap:i * cap + k] = True
 
-    shard = NamedSharding(mesh, P(AXIS))
+    shard = NamedSharding(mesh, P(AXES))
     rep = NamedSharding(mesh, P())
     return ShardedState(
         pos=jax.device_put(jnp.asarray(pos_p), shard),
@@ -90,7 +126,8 @@ def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
         acc=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
         acc_pm=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
         valid=jax.device_put(jnp.asarray(val_p), shard),
-        bounds=jax.device_put(jnp.asarray(bounds, dtype), rep),
+        xbounds=jax.device_put(jnp.asarray(xb, dtype), rep),
+        ybounds=jax.device_put(jnp.asarray(yb, dtype), rep),
         a=jax.device_put(jnp.asarray(a, dtype), rep),
     )
 
@@ -103,9 +140,10 @@ def gather_state(state: ShardedState):
 
 
 def rebalance_bounds(bounds, cost, relax: float = 0.3):
-    """Move slab boundaries toward equal cumulative cost.
+    """Move grid lines along one axis toward equal cumulative cost.
 
-    cost: (D,) measured per-shard cost (idxP2P+idxM2L analogue).  Inverse
+    cost: (D,) measured per-slab cost (idxP2P+idxM2L analogue; for the 2-D
+    grid, the marginal of the brick cost matrix along this axis).  Inverse
     interpolation of the cumulative cost, relaxed by 0.3 like the
     reference's split-shift (domains.c:86-144)."""
     d = cost.shape[0]
@@ -122,20 +160,23 @@ def rebalance_bounds(bounds, cost, relax: float = 0.3):
     return jnp.concatenate([bounds[:1], new_inner, bounds[d:]])
 
 
-def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
-                 p2p_backend: str, n_hops: int, ghost_cap: int):
+def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
+                 p2p_backend: str, hops_x: int, hops_y: int, ghost_cap: int):
     """Per-shard short-range + PM forces (runs inside shard_map)."""
     cap = pos.shape[0]
     box = cfg.boxsize
     dtype = pos.dtype
-    d = lax.axis_size(AXIS)
+    dx = lax.axis_size(AXX)
+    dy = lax.axis_size(AXY)
+    d = dx * dy
     n_side = cfg.n_side
-    nx_loc = n_side // d
-    me = lax.axis_index(AXIS)
+    nx_loc = n_side // dx
+    ny_loc = n_side // dy
 
     # ---- short range: ghosts + local FMM -------------------------------
-    gpos, gval, g_ovf, halo_bad = gather_ghosts(
-        pos, valid, bounds, cfg.cutoff_radius, box, ghost_cap, n_hops, AXIS)
+    gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
+        pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
+        hops_x, hops_y, AXX, AXY)
     pos_all = jnp.concatenate([pos, gpos])
     val_all = jnp.concatenate([valid, gval])
     acc_all, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
@@ -165,35 +206,46 @@ def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
         moments = (root_m[None, :],)
 
     _, near_mask, _ = toptree_far_field(
-        _Root, AXIS, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
-    me_idx = lax.axis_index(AXIS)
-    hop_dist = jnp.minimum((jnp.arange(d) - me_idx) % d,
-                           (me_idx - jnp.arange(d)) % d)
-    unserved_near = jnp.any(near_mask & (hop_dist > n_hops))
+        _Root, AXES, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
+    ix = lax.axis_index(AXX)
+    iy = lax.axis_index(AXY)
+    rx = jnp.arange(d) // dy
+    ry = jnp.arange(d) % dy
+    hx = jnp.minimum((rx - ix) % dx, (ix - rx) % dx)
+    hy = jnp.minimum((ry - iy) % dy, (iy - ry) % dy)
+    unserved_near = jnp.any(near_mask & ((hx > hops_x) | (hy > hops_y)))
     halo_bad = halo_bad | unserved_near
 
-    # ---- long range: slab paint -> pencil FFT -> gathered readout ------
+    # ---- long range: brick paint -> 2-D pencil FFT -> gathered readout --
     mesh_full = cic_paint(jnp.where(valid[:, None], pos, 0.0), box, n_side,
                           weights=valid.astype(dtype))
     mesh_full = mesh_full * (cfg.particle_mass * (n_side / box) ** 3)
-    # reduce the full local paint into slab ownership
+    # reduce the full local paint into brick ownership (x then y)
     slab = lax.psum_scatter(
-        mesh_full.reshape(d, nx_loc, n_side, n_side), AXIS,
+        mesh_full.reshape(dx, nx_loc, n_side, n_side), AXX,
         scatter_dimension=0, tiled=False)
-    phi_slab = pencil_poisson(slab, gf_local, AXIS)
-    phi = lax.all_gather(phi_slab, AXIS, axis=0, tiled=True)  # (n, n, n)
+    brick = lax.psum_scatter(
+        slab.reshape(nx_loc, dy, ny_loc, n_side), AXY,
+        scatter_dimension=1, tiled=False)
+    phi_brick = pencil_poisson_2d(brick, gf_local, AXX, AXY)
+    # gather on a NEW leading axis + explicit rearrange: a tiled axis-1
+    # all_gather propagates a non-major layout into the irfft producing
+    # phi_brick, which XLA:CPU's fft thunk RET_CHECKs on
+    phi = lax.all_gather(phi_brick, AXY, axis=0, tiled=False)
+    phi = jnp.moveaxis(phi, 0, 1).reshape(nx_loc, n_side, n_side)
+    phi = lax.all_gather(phi, AXX, axis=0, tiled=True)     # (n, n, n)
     grad = gradient_4th(phi, box)
     acc_pm = cic_read_vector(grad, pos, box, n_side)
     acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
 
     # ---- diagnostics (replicated scalars) -------------------------------
     my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
-    cost = lax.all_gather(my_cost, AXIS)                   # (D,)
+    cost = lax.all_gather(my_cost, AXES)                   # (Dx*Dy,)
     diag_out = {
-        "n_p2p": lax.psum(diag["n_p2p"], AXIS),
-        "n_m2l": lax.psum(diag["n_m2l"], AXIS),
+        "n_p2p": lax.psum(diag["n_p2p"], AXES),
+        "n_m2l": lax.psum(diag["n_m2l"], AXES),
         "overflow": lax.pmax(
-            (diag["overflow"] | g_ovf | halo_bad).astype(jnp.int32), AXIS),
+            (diag["overflow"] | g_ovf | halo_bad).astype(jnp.int32), AXES),
         "cost": cost,
     }
     return acc, acc_pm, diag_out
@@ -202,9 +254,11 @@ def _force_shard(pos, valid, bounds, gf_local, cfg: SimConfig,
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
                       rebalance: bool = True):
     """Build the jitted multi-chip KDK step function."""
-    d = mesh.devices.size
-    if cfg.n_side % d:
-        raise ValueError("n_side must be divisible by the mesh size")
+    mesh = as_grid_mesh(mesh, cfg)
+    dx, dy = mesh.devices.shape
+    d = dx * dy
+    if cfg.n_side % dx or cfg.n_side % dy:
+        raise ValueError("n_side must be divisible by both mesh axes")
     if d > 1 and not (cfg.longshort and cfg.periodic):
         raise NotImplementedError(
             "multi-chip mode requires the Ewald split (longshort=True, "
@@ -217,17 +271,22 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     grav = cfg.grav_const
     box = cfg.boxsize
 
-    # hop count from the *uniform* slab width with margin for rebalancing
-    slab = box / d
-    n_hops = min(d - 1, max(1, int(np.ceil(cfg.cutoff_radius / slab)) + 1)) \
-        if d > 1 else 0
+    # hop counts from the *uniform* grid widths with margin for rebalancing
+    def hops(n_axis):
+        if n_axis == 1:
+            return 0
+        w = box / n_axis
+        return min(n_axis - 1,
+                   max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+    hops_x, hops_y = hops(dx), hops(dy)
 
-    gf_full = green_function_yslice(cfg.n_side, box, cfg.split_radius, dtype)
+    gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
+                                      dtype, dy)
 
-    shard = P(AXIS)
+    shard = P(AXES)
     rep = P()
 
-    def body(pos, vel, acc, acc_pm, valid, bounds, gf_local, dk, dd, a_next):
+    def body(pos, vel, acc, acc_pm, valid, xb, yb, gf_local, dk, dd, a_next):
         cap = pos.shape[0]
         ghost_cap = int(cap * cfg.ghost_cap_factor)
         dkh = 0.5 * dk * grav
@@ -235,51 +294,56 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         vel = vel + (acc + acc_pm) * dkh
         pos = jnp.where(valid[:, None], jnp.mod(pos + vel * dd, box), pos)
 
-        (pos, vel), valid, mig_ovf = migrate(
-            (pos, vel), valid, bounds,
-            send_cap=int(cap * cfg.send_cap_factor), axis=AXIS)
+        (pos, vel), valid, mig_ovf = migrate_2d(
+            (pos, vel), valid, xb, yb,
+            send_cap=int(cap * cfg.send_cap_factor), ax=AXX, ay=AXY)
 
         acc, acc_pm, diag = _force_shard(
-            pos, valid, bounds, gf_local, cfg, p2p_backend, n_hops, ghost_cap)
+            pos, valid, xb, yb, gf_local, cfg, p2p_backend,
+            hops_x, hops_y, ghost_cap)
         vel = vel + (acc + acc_pm) * dkh
 
         if rebalance:
-            new_bounds = rebalance_bounds(bounds, diag["cost"]).astype(dtype)
+            cost2d = diag["cost"].reshape(dx, dy)
+            new_xb = (rebalance_bounds(xb, cost2d.sum(1)).astype(dtype)
+                      if dx > 1 else xb)
+            new_yb = (rebalance_bounds(yb, cost2d.sum(0)).astype(dtype)
+                      if dy > 1 else yb)
         else:
-            new_bounds = bounds
+            new_xb, new_yb = xb, yb
         diag = dict(diag)
         # migration overflow is per-shard: reduce before merging into the
         # replicated diag or another shard's False can mask lost particles
         diag["overflow"] = diag["overflow"] | lax.pmax(
-            mig_ovf.astype(jnp.int32), AXIS)
-        return pos, vel, acc, acc_pm, valid, new_bounds, diag
+            mig_ovf.astype(jnp.int32), AXES)
+        return pos, vel, acc, acc_pm, valid, new_xb, new_yb, diag
 
     smapped = shard_map(
         body, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, shard, rep, P(None, AXIS, None),
-                  rep, rep, rep),
-        out_specs=(shard, shard, shard, shard, shard, rep,
+        in_specs=(shard, shard, shard, shard, shard, rep, rep,
+                  P(None, AXX, AXY), rep, rep, rep),
+        out_specs=(shard, shard, shard, shard, shard, rep, rep,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
         check_rep=False)
 
     @jax.jit
     def step(state: ShardedState, dk, dd, a_next):
-        pos, vel, acc, acc_pm, valid, bounds, diag = smapped(
+        pos, vel, acc, acc_pm, valid, xb, yb, diag = smapped(
             state.pos, state.vel, state.acc, state.acc_pm, state.valid,
-            state.bounds, gf_full,
+            state.xbounds, state.ybounds, gf_full,
             jnp.asarray(dk, dtype), jnp.asarray(dd, dtype),
             jnp.asarray(a_next, dtype))
         return ShardedState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
-                            valid=valid, bounds=bounds,
+                            valid=valid, xbounds=xb, ybounds=yb,
                             a=jnp.asarray(a_next, dtype)), diag
 
     # initial force computation (before the first kick, photoNs.c:95-132)
     forces_mapped = shard_map(
-        lambda pos, valid, bounds, gf_local: _force_shard(
-            pos, valid, bounds, gf_local, cfg, p2p_backend, n_hops,
+        lambda pos, valid, xb, yb, gf_local: _force_shard(
+            pos, valid, xb, yb, gf_local, cfg, p2p_backend, hops_x, hops_y,
             int(pos.shape[0] * cfg.ghost_cap_factor)),
         mesh=mesh,
-        in_specs=(shard, shard, rep, P(None, AXIS, None)),
+        in_specs=(shard, shard, rep, rep, P(None, AXX, AXY)),
         out_specs=(shard, shard,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
         check_rep=False)
@@ -287,7 +351,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     @jax.jit
     def initial_forces(state: ShardedState):
         acc, acc_pm, diag = forces_mapped(state.pos, state.valid,
-                                          state.bounds, gf_full)
+                                          state.xbounds, state.ybounds,
+                                          gf_full)
         return dataclasses.replace(state, acc=acc, acc_pm=acc_pm), diag
 
     return step, initial_forces
@@ -303,12 +368,14 @@ class ShardedSimulation:
     p2p_backend: str = "jnp"
 
     def __post_init__(self):
+        self.mesh = as_grid_mesh(self.mesh, self.cfg)
         self._step, self._init_forces = make_sharded_step(
             self.cfg, self.mesh, self.p2p_backend)
 
     @classmethod
     def from_arrays(cls, cfg: SimConfig, mesh: Mesh, pos, vel,
                     a: Optional[float] = None, p2p_backend: str = "jnp"):
+        mesh = as_grid_mesh(mesh, cfg)
         state = make_sharded_state(cfg, mesh, pos, vel,
                                    a if a is not None
                                    else cfg.initial_scale_factor)
@@ -406,7 +473,7 @@ class ShardedSimulation:
 
     def write_checkpoint(self, path: str):
         """Lossless native checkpoint of the full sharded state (incl.
-        validity mask and slab bounds) -- one file per shard, like the
+        validity mask and grid lines) -- one file per shard, like the
         reference's per-rank writes."""
         import types
 
@@ -416,13 +483,15 @@ class ShardedSimulation:
         cap = self.state.valid.shape[0] // d
         host = {k: np.asarray(getattr(self.state, k))
                 for k in ("pos", "vel", "acc", "acc_pm", "valid")}
-        bounds = np.asarray(self.state.bounds)
+        xb = np.asarray(self.state.xbounds)
+        yb = np.asarray(self.state.ybounds)
         a = np.asarray(self.state.a)
         files = []
         for s in range(d):
             sl = slice(s * cap, (s + 1) * cap)
             shard_state = types.SimpleNamespace(
-                **{k: v[sl] for k, v in host.items()}, bounds=bounds, a=a)
+                **{k: v[sl] for k, v in host.items()},
+                xbounds=xb, ybounds=yb, a=a)
             files.append(save_checkpoint(path, self.cfg, shard_state,
                                          shard=s))
         return files
@@ -433,7 +502,7 @@ class ShardedSimulation:
         """Rebuild a ShardedSimulation from per-shard checkpoint files.
 
         The mesh size may differ from the writing run's: particles are
-        re-binned into the new mesh's slabs."""
+        re-binned into the new mesh's bricks."""
         from photons_tpu.io.checkpoint import load_checkpoint
 
         cfg, arr0 = load_checkpoint(path, shard=0)
@@ -447,6 +516,7 @@ class ShardedSimulation:
             pos.append(arr["pos"][arr["valid"]])
             vel.append(arr["vel"][arr["valid"]])
             s += 1
+        mesh = as_grid_mesh(mesh, cfg)
         state = make_sharded_state(cfg, mesh, np.concatenate(pos),
                                    np.concatenate(vel), float(arr0["a"]))
         return cls(cfg=cfg, mesh=mesh, state=state, p2p_backend=p2p_backend)

@@ -18,8 +18,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: shard_map/interpret-Pallas compiles dominated
-# the round-1 suite (~45 min); cached reruns cut most of it
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+# the round-1 suite (~45 min); cached reruns cut most of it.
+# NOTE: must NOT share a directory with TPU-side runs -- the axon remote
+# AOT helper emits CPU executables with different machine features that
+# fail to load here (fft_thunk layout RET_CHECKs, SIGILL warnings).
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -159,6 +159,105 @@ def test_toptree_global_invariants(mesh):
     np.testing.assert_allclose(com, pos_all.mean(axis=0), rtol=1e-10)
 
 
+@pytest.fixture(scope="module")
+def mesh42():
+    return Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+
+
+def test_pencil_fft_2d_matches_single_device(mesh42):
+    """True 2DECOMP parity: the (4,2) process-grid pencil FFT (two
+    all_to_all transposes) against the single-device solve."""
+    from photons_tpu.parallel.fft import (green_function_pencil2d,
+                                          pencil_poisson_2d)
+    from photons_tpu.pm.solver import green_function, pm_potential
+
+    n, rs = 32, 1.953
+    dens = jnp.asarray(np.random.default_rng(0).normal(size=(n, n, n)))
+    phi_ref = pm_potential(dens, green_function(n, L, rs, dtype=jnp.float64))
+    gf2 = green_function_pencil2d(n, L, rs, jnp.float64, dy=2)
+    f = shard_map(lambda d_, g_: pencil_poisson_2d(d_, g_, "x", "y"),
+                  mesh=mesh42, in_specs=(P("x", "y"), P(None, "x", "y")),
+                  out_specs=P("x", "y"), check_rep=False)
+    np.testing.assert_allclose(np.asarray(f(dens, gf2)),
+                               np.asarray(phi_ref), atol=1e-12)
+
+
+def test_migration_2d_routes_to_bricks(mesh42):
+    from photons_tpu.parallel.migrate import migrate_2d
+
+    dx, dy, cap = 4, 2, 64
+    rng = np.random.default_rng(4)
+    pos = jnp.asarray(rng.uniform(0, L, (dx * dy * cap, 3)))
+    vel = jnp.asarray(rng.normal(size=(dx * dy * cap, 3)))
+    valid = jnp.asarray(rng.uniform(size=(dx * dy * cap,)) < 0.5)
+    xb = jnp.asarray(np.linspace(0, L, dx + 1))
+    yb = jnp.asarray(np.linspace(0, L, dy + 1))
+
+    f = shard_map(
+        lambda p, v, m, b1, b2: migrate_2d((p, v), m, b1, b2, send_cap=cap,
+                                           ax="x", ay="y"),
+        mesh=mesh42, in_specs=(P(("x", "y")), P(("x", "y")), P(("x", "y")),
+                               P(), P()),
+        out_specs=((P(("x", "y")), P(("x", "y"))), P(("x", "y")), P()),
+        check_rep=False)
+    (pos2, vel2), valid2, ovf = f(pos, vel, valid, xb, yb)
+    assert not bool(ovf)
+
+    a = np.asarray(pos)[np.asarray(valid)]
+    b = np.asarray(pos2)[np.asarray(valid2)]
+    assert len(a) == len(b)
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0),
+                               rtol=1e-12)
+    # ownership: every valid particle sits in its brick
+    v2 = np.asarray(valid2).reshape(dx * dy, cap)
+    p2 = np.asarray(pos2).reshape(dx * dy, cap, 3)
+    for i in range(dx):
+        for j in range(dy):
+            sel = p2[i * dy + j][v2[i * dy + j]]
+            assert ((sel[:, 0] >= i * L / dx)
+                    & (sel[:, 0] < (i + 1) * L / dx)).all()
+            assert ((sel[:, 1] >= j * L / dy)
+                    & (sel[:, 1] < (j + 1) * L / dy)).all()
+
+
+def test_sharded_step_2d_grid_matches_single_device(mesh42):
+    """The (4,2) brick-decomposed step (2-D halos + staged migration + 2-D
+    pencil FFT) reproduces the single-device TreePM evolution."""
+    from photons_tpu.sim import Simulation
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
+                    leaf_size=16, initial_redshift=49.0)
+    rng = np.random.default_rng(9)
+    pos = rng.uniform(0, L, (512, 3))
+    vel = rng.normal(size=(512, 3)) * 1e-4
+    a1 = cfg.initial_scale_factor * 1.05
+
+    sim1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
+    sim1.run(n_steps=2, a_final=a1)
+
+    sim8 = ShardedSimulation.from_arrays(cfg, mesh42, pos, vel)
+    assert sim8.mesh.devices.shape == (4, 2)
+    sim8.run(n_steps=2, a_final=a1)
+    assert not int(sim8.last_diag["overflow"])
+
+    p1 = np.asarray(sim1.state.pos)
+    p8, v8, _ = gather_state(sim8.state)
+    assert len(p8) == 512
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=1e-5)
+
+
+def test_config_grid_shape_honored(mesh):
+    """NprocVertical/NprocHorizon from the parameter file fix the 2-D grid
+    (initial.c:253-254)."""
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=256, dtype="float64",
+                    leaf_size=16, n_proc_vertical=2, n_proc_horizon=4)
+    sim = ShardedSimulation.from_arrays(
+        cfg, mesh, np.random.default_rng(0).uniform(0, L, (256, 3)),
+        np.zeros((256, 3)))
+    assert sim.mesh.devices.shape == (2, 4)
+
+
 def test_sharded_run_io_and_log(mesh, tmp_path):
     """Per-rank IO parity (snapshot.c:538-549 + photoNs.c:318): the sharded
     run writes per-shard snapshots that read_gadget reassembles, a run log
