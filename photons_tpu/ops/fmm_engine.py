@@ -36,26 +36,31 @@ from photons_tpu.tree.build import Tree, build_tree
 from photons_tpu.ops.kernels import min_image as _min_image
 
 
-def apply_m2l(tree: Tree, lists: InteractionLists,
-              split_radius: Optional[float], boxsize: Optional[float]):
-    """Evaluate all M2L interactions into per-level local expansions.
+def apply_m2l_pair(tree: Tree, lists: InteractionLists,
+                   src_centers, src_moments,
+                   split_radius: Optional[float],
+                   boxsize: Optional[float], locals_per_level=None):
+    """Evaluate M2L interactions from a (possibly remote) source tree into
+    the target tree's per-level local expansions.
 
     The traversal's per-target tables give each node exclusive ownership of
     its row, so accumulation is a dense gather + reduce over the table's
     short axis -- no scatter-add (the reference instead loops m2l() per
-    task, task_compute_m2l fmm.c:913-945).
+    task, task_compute_m2l fmm.c:913-945; the remote form is
+    task_compute_m2l_ext, remotes.c:637-667).
 
     Returns a list of (2^d, 20) local-expansion arrays per depth.
     """
-    locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
+    if locals_per_level is None:
+        locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
     for lvl, (tbl, cnt) in enumerate(zip(lists.m2l, lists.m2l_counts)):
         d = lvl + 1                                  # tables start at depth 1
         n_nodes, cap = tbl.shape
         valid = tbl >= 0
         safe = jnp.maximum(tbl, 0)
-        centers = tree.centers[d]
-        disp = _min_image(centers[:, None, :] - centers[safe], boxsize)
-        m_src = jnp.where(valid[..., None], tree.moments[d][safe], 0.0)
+        disp = _min_image(tree.centers[d][:, None, :] - src_centers[d][safe],
+                          boxsize)
+        m_src = jnp.where(valid[..., None], src_moments[d][safe], 0.0)
         # guard the padded rows against r = 0 in the kernel
         disp = jnp.where(valid[..., None], disp, 1.0)
         dl = mp.m2l(m_src.reshape(-1, mp.NMULTI), disp.reshape(-1, 3),
@@ -63,6 +68,13 @@ def apply_m2l(tree: Tree, lists: InteractionLists,
         locals_per_level[d] = locals_per_level[d] + jnp.sum(
             jnp.where(valid[..., None], dl, 0.0), axis=1)
     return locals_per_level
+
+
+def apply_m2l(tree: Tree, lists: InteractionLists,
+              split_radius: Optional[float], boxsize: Optional[float]):
+    """Local-walk M2L: source tree == target tree."""
+    return apply_m2l_pair(tree, lists, tree.centers, tree.moments,
+                          split_radius, boxsize)
 
 
 def downward_l2l(tree: Tree, locals_per_level):
@@ -113,28 +125,22 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
     return acc
 
 
-def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
-    """Full short-range FMM acceleration in the original particle order.
+def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
+              p2p_backend: str = "jnp"):
+    """Force evaluation given precomputed interaction lists (the compute
+    half of fmm_task, fmm.c:947-1024): M2L + L2L + L2P + P2P, scattered
+    back to the pre-sort particle order.
 
-    ``valid``: optional liveness mask (capacity-padded sharded inputs);
-    invalid slots contribute no mass and get zero acceleration.
+    ``lists`` may come from the jitted traversal (fmm_forces) or from the
+    native host walk (pipeline.PipelinedSimulation -- the dual-buffer
+    walk/compute split of the reference, fmm.c:378-400).
 
-    Returns (acc (N,3), diag dict of scalars).
+    Returns (acc (n_leaf*S, 3) in original order incl. padding slots,
+    diag dict).
     """
-    n = pos.shape[0]
     mass = cfg.particle_mass
     rs = cfg.split_radius if cfg.longshort else None
-    cutoff = cfg.cutoff_radius if cfg.longshort else None
     box = cfg.boxsize if cfg.periodic else None
-    lo, hi = (0.0, cfg.boxsize)
-
-    tree = build_tree(pos, mass=mass, leaf_size=cfg.leaf_size, lo=lo, hi=hi,
-                      valid=valid)
-    lists = dual_tree_traversal(
-        tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
-        open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
-        p2p_cap=cfg.p2p_neighbor_cap,
-        adjacency_eps=1e-9 * cfg.boxsize)
 
     locals_per_level = apply_m2l(tree, lists, rs, box)
     locals_per_level = downward_l2l(tree, locals_per_level)
@@ -158,14 +164,38 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
     flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
     acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
     acc_all = acc_all.at[tree.perm].set(flat)
-    acc = acc_all[:n]
 
     diag = {
         "n_p2p": lists.p2p_count,
         "n_m2l": sum(lists.m2l_counts),
         "overflow": lists.overflow | nbr_overflow,
     }
-    return acc, diag
+    return acc_all, diag
+
+
+def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
+    """Full short-range FMM acceleration in the original particle order.
+
+    ``valid``: optional liveness mask (capacity-padded sharded inputs);
+    invalid slots contribute no mass and get zero acceleration.
+
+    Returns (acc (N,3), diag dict of scalars).
+    """
+    n = pos.shape[0]
+    cutoff = cfg.cutoff_radius if cfg.longshort else None
+    box = cfg.boxsize if cfg.periodic else None
+    lo, hi = (0.0, cfg.boxsize)
+
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
+                      lo=lo, hi=hi, valid=valid)
+    lists = dual_tree_traversal(
+        tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
+        open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
+        p2p_cap=cfg.p2p_neighbor_cap,
+        adjacency_eps=1e-9 * cfg.boxsize)
+
+    acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend)
+    return acc_all[:n], diag
 
 
 def make_fmm_force_fn(cfg: SimConfig, p2p_backend: str = "jnp"):

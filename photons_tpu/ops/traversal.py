@@ -134,7 +134,8 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
                              open_cap: int = 256, m2l_cap: int = 128,
                              p2p_cap: int = 192,
                              adjacency_eps: float = 1e-4,
-                             leaf_unresolved: str = "p2p") -> InteractionLists:
+                             leaf_unresolved: str = "p2p",
+                             source_zone=None) -> InteractionLists:
     """Two-tree traversal: targets from tree T, sources from tree S (same
     balanced layout).  For S == T this is the local walk; with S = a remote
     shard's gathered tree metadata it is the cross-shard far-field pass
@@ -145,6 +146,14 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
     ghost bodies available), 'm2l' force-accepts them as multipole
     interactions (pure far-field pass; the caller guarantees ghost bodies
     cover everything nearer than its acceptance horizon).
+
+    source_zone: optional tuple over depths 0..D of (2^d,) bool masks
+    marking source nodes inside the caller's ghost zone (their bodies were
+    shipped as ghosts and are already in the near-field tree).  Zone nodes
+    are opened until the leaf level, where they are DISCARDED -- the exact
+    leaf-aligned complement of the ghost exchange (the reference's
+    prepare_sendtree2 MAC-pruned send-trees serve the same role,
+    remotes.c:337-446).
     """
     depth = len(centers_t) - 1
     overflow = jnp.asarray(False)
@@ -181,6 +190,12 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         flags = jnp.where(valid, flags, -1)
 
         last = (d + 1 == depth)
+        if source_zone is not None:
+            zone = source_zone[d + 1][safe] & valid
+            # ghost-zone sources: open until the leaf level, then discard
+            # (their bodies are served by the leaf-aligned ghost exchange)
+            flags = jnp.where(zone & (counts_s[d + 1][safe] > 0),
+                              -1 if last else 0, flags)
         accept = flags == 1
         if last and leaf_unresolved == "m2l":
             accept = flags >= 0                     # force-accept leftovers

@@ -160,9 +160,51 @@ def rebalance_bounds(bounds, cost, relax: float = 0.3):
     return jnp.concatenate([bounds[:1], new_inner, bounds[d:]])
 
 
+def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
+                      p2p_backend: str, ghost_cap: int):
+    """Open-boundary (Newtonian, no PM) per-shard forces.
+
+    Near field: single-tree FMM over local + leaf-aligned ghost bodies.
+    Far field: remote-tree M2L with the ghost zone carved out
+    (parallel/farfield.py; reference fmm_remote + walk_toptree_m2l)."""
+    from photons_tpu.parallel.farfield import (gather_ghost_leaves,
+                                               ghost_horizon, open_far_field)
+    from photons_tpu.tree.build import build_tree
+
+    cap = pos.shape[0]
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
+                      lo=0.0, hi=cfg.boxsize, valid=valid)
+    horizon = ghost_horizon(tree, cfg.open_angle, AXES)
+    leaf_cap = max(1, ghost_cap // cfg.leaf_size)
+    gpos, gval, g_ovf = gather_ghost_leaves(tree, xbounds, ybounds, horizon,
+                                            leaf_cap, AXX, AXY)
+    pos_all = jnp.concatenate([pos, gpos])
+    val_all = jnp.concatenate([valid, gval])
+    acc_near, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
+                                valid=val_all)
+    acc_far, fdiag = open_far_field(tree, xbounds, ybounds, horizon, cfg,
+                                    AXX, AXY)
+    acc = acc_near[:cap] + acc_far[:cap]
+    acc_pm = jnp.zeros_like(acc)
+
+    n_m2l = diag["n_m2l"] + fdiag["n_m2l_far"]
+    my_cost = (diag["n_p2p"] + n_m2l).astype(jnp.float32)
+    overflow = diag["overflow"] | g_ovf | fdiag["overflow"]
+    diag_out = {
+        "n_p2p": lax.psum(diag["n_p2p"], AXES),
+        "n_m2l": lax.psum(n_m2l, AXES),
+        "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
+        "cost": lax.all_gather(my_cost, AXES),
+    }
+    return acc, acc_pm, diag_out
+
+
 def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
                  p2p_backend: str, hops_x: int, hops_y: int, ghost_cap: int):
     """Per-shard short-range + PM forces (runs inside shard_map)."""
+    if not cfg.longshort:
+        return _force_shard_open(pos, valid, xbounds, ybounds, cfg,
+                                 p2p_backend, ghost_cap)
     cap = pos.shape[0]
     box = cfg.boxsize
     dtype = pos.dtype
@@ -259,14 +301,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     d = dx * dy
     if cfg.n_side % dx or cfg.n_side % dy:
         raise ValueError("n_side must be divisible by both mesh axes")
-    if d > 1 and not (cfg.longshort and cfg.periodic):
+    if d > 1 and cfg.longshort and not cfg.periodic:
         raise NotImplementedError(
-            "multi-chip mode requires the Ewald split (longshort=True, "
-            "periodic=True): the ghost halo is exact only under the cutoff "
-            "radius; open-boundary Newtonian runs are single-device "
-            "(slab domains are full-extent in y/z, so domain-level "
-            "multipoles can never satisfy the MAC -- as in the reference, "
-            "where walk_toptree_m2l is off the main path)")
+            "longshort without periodic wrap has no PM Green's function; "
+            "use periodic=True (TreePM) or longshort=False (pure Newtonian)")
     dtype = jnp.dtype(cfg.dtype)
     grav = cfg.grav_const
     box = cfg.boxsize
@@ -280,8 +318,13 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
                    max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
     hops_x, hops_y = hops(dx), hops(dy)
 
-    gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
-                                      dtype, dy)
+    if cfg.longshort:
+        gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
+                                          dtype, dy)
+        gf_spec = P(None, AXX, AXY)
+    else:
+        gf_full = jnp.zeros((1,), dtype)        # unused placeholder
+        gf_spec = P()
 
     shard = P(AXES)
     rep = P()
@@ -292,7 +335,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         dkh = 0.5 * dk * grav
 
         vel = vel + (acc + acc_pm) * dkh
-        pos = jnp.where(valid[:, None], jnp.mod(pos + vel * dd, box), pos)
+        drifted = pos + vel * dd
+        if cfg.periodic:
+            drifted = jnp.mod(drifted, box)
+        pos = jnp.where(valid[:, None], drifted, pos)
 
         (pos, vel), valid, mig_ovf = migrate_2d(
             (pos, vel), valid, xb, yb,
@@ -321,7 +367,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     smapped = shard_map(
         body, mesh=mesh,
         in_specs=(shard, shard, shard, shard, shard, rep, rep,
-                  P(None, AXX, AXY), rep, rep, rep),
+                  gf_spec, rep, rep, rep),
         out_specs=(shard, shard, shard, shard, shard, rep, rep,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
         check_rep=False)
@@ -343,7 +389,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
             pos, valid, xb, yb, gf_local, cfg, p2p_backend, hops_x, hops_y,
             int(pos.shape[0] * cfg.ghost_cap_factor)),
         mesh=mesh,
-        in_specs=(shard, shard, rep, rep, P(None, AXX, AXY)),
+        in_specs=(shard, shard, rep, rep, gf_spec),
         out_specs=(shard, shard,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
         check_rep=False)

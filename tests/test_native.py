@@ -72,3 +72,32 @@ def test_native_gadget_roundtrip(tmp_path):
     ps, vs = native_read_gadget_slice(path, n, 100, 50)
     np.testing.assert_array_equal(ps, pos[100:150])
     np.testing.assert_array_equal(vs, vel[100:150])
+
+
+def test_pipelined_simulation_matches_in_jit(tmp_path):
+    """Dual-buffer pipeline parity (fmm.c:378-400): the host-walk engine
+    must reproduce the in-jit traversal engine's trajectory (same MAC, same
+    tables -- only the walk's execution venue differs)."""
+    from photons_tpu.config import SimConfig
+    from photons_tpu.pipeline import PipelinedSimulation
+    from photons_tpu.sim import Simulation
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=2048, dtype="float64",
+                    leaf_size=16, open_angle=0.4)
+    rng = np.random.default_rng(21)
+    pos = rng.uniform(0, L, (2048, 3))
+    vel = rng.normal(size=(2048, 3)) * 1e-3
+
+    sim_a = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
+    a1 = cfg.initial_scale_factor * 1.05
+    sim_a.run(n_steps=3, a_final=a1)
+
+    sim_b = PipelinedSimulation.from_arrays(cfg, pos, vel)
+    sim_b.run(n_steps=3, a_final=a1)
+
+    np.testing.assert_allclose(np.asarray(sim_a.state.pos),
+                               np.asarray(sim_b.state.pos),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sim_a.state.vel),
+                               np.asarray(sim_b.state.vel),
+                               rtol=0, atol=1e-12)

@@ -301,9 +301,75 @@ def test_sharded_run_io_and_log(mesh, tmp_path):
     np.testing.assert_allclose(p2[key(p2)], p_live[key(p_live)], atol=1e-12)
 
 
-def test_sharded_open_boundary_raises(mesh):
+def _merger_like(n, seed=9):
+    """Two clusters + a sparse background (exercises near AND far domains)."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n // 4, 3)) * 3.0 + np.array([12.0, 25.0, 25.0])
+    b = rng.normal(size=(n // 4, 3)) * 3.0 + np.array([38.0, 25.0, 25.0])
+    c = rng.uniform(0, L, (n - 2 * (n // 4), 3))
+    return np.clip(np.concatenate([a, b, c]), 0.1, L - 0.1)
+
+
+def test_sharded_open_boundary_forces_match_direct(mesh42):
+    """VERDICT missing #4/#6: multi-chip open-boundary Newtonian forces --
+    leaf-aligned ghost exchange + remote-tree M2L far field (farfield.py;
+    ref remotes.c:337-446 send-trees + toptree.c:204-244 domain MAC) --
+    against the O(N^2) direct sum, < 1e-3 RMS on a (4,2) brick grid."""
+    from photons_tpu.ops.direct import direct_forces
+
+    n = 1024
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=n, dtype="float64",
+                    leaf_size=16, longshort=False, periodic=False,
+                    shard_capacity_factor=8.0, ghost_cap_factor=1.0)
+    pos = _merger_like(n)
+    sim = ShardedSimulation.from_arrays(cfg, mesh42, pos, np.zeros_like(pos))
+    state, diag = sim._init_forces(sim.state)
+    assert not int(np.asarray(diag["overflow"]))
+
+    valid = np.asarray(state.valid)
+    p = np.asarray(state.pos)[valid]
+    acc = np.asarray(state.acc)[valid]
+    assert np.abs(np.asarray(state.acc_pm)).max() == 0.0   # no PM in open mode
+
+    ref = direct_forces(jnp.asarray(p), mass=cfg.particle_mass,
+                        eps=cfg.soften_scale)
+    rms = float(np.sqrt((np.asarray(ref) ** 2).sum(-1)).mean())
+    err = np.sqrt(((acc - np.asarray(ref)) ** 2).sum(-1))
+    assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+
+
+@pytest.mark.slow
+def test_sharded_open_boundary_run_matches_single_device(mesh):
+    """Two open-boundary KDK steps on 8 slabs vs the single-device engine:
+    same physics to force-approximation accuracy (both sides are
+    MAC-truncated FMM, so agreement is at the truncation scale)."""
+    from photons_tpu.sim import Simulation
+
+    n = 512
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=n, dtype="float64",
+                    leaf_size=16, longshort=False, periodic=False,
+                    shard_capacity_factor=8.0, ghost_cap_factor=1.0)
+    pos = _merger_like(n, seed=11)
+    vel = np.random.default_rng(12).normal(size=(n, 3)) * 1e-3
+
+    sim1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
+    a1 = cfg.initial_scale_factor * 1.05
+    sim1.run(n_steps=2, a_final=a1)
+
+    sim8 = ShardedSimulation.from_arrays(cfg, mesh, pos, vel)
+    sim8.run(n_steps=2, a_final=a1)
+    assert not int(sim8.last_diag["overflow"])
+
+    p1 = np.asarray(sim1.state.pos)
+    p8, _, _ = gather_state(sim8.state)
+    assert len(p8) == n
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=2e-4)
+
+
+def test_sharded_longshort_open_box_raises(mesh):
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
-                    longshort=False, periodic=False)
+                    longshort=True, periodic=False)
     with pytest.raises(NotImplementedError):
         ShardedSimulation.from_arrays(
             cfg, mesh, np.random.default_rng(0).uniform(0, L, (512, 3)),
