@@ -45,6 +45,10 @@ class SimConfig:
     longshort: bool = True              # Ewald long/short split (-DLONGSHORT)
     periodic: bool = True               # -DPERIODIC_CONDITION
     pm_only: bool = False               # PMONLY mode (photoNs.c:70-126)
+    fused_step: bool = True             # one jit per KDK step; False splits
+    # kick/drift | FMM | PM into separate device programs so peak HBM is
+    # the max of the stages, not their co-scheduled sum (needed at 256^3
+    # on a single 16 GB v5e; costs the measured ~10-20% PM/FMM overlap)
 
     # --- time integration -------------------------------------------------
     n_steps: int = 100                  # reference hardcodes 100 (photoNs.c:384)

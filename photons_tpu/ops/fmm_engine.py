@@ -126,7 +126,7 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
 
 
 def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
-              p2p_backend: str = "jnp"):
+              p2p_backend: str = "jnp", leaf_active=None):
     """Force evaluation given precomputed interaction lists (the compute
     half of fmm_task, fmm.c:947-1024): M2L + L2L + L2P + P2P, scattered
     back to the pre-sort particle order.
@@ -134,6 +134,13 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
     ``lists`` may come from the jitted traversal (fmm_forces) or from the
     native host walk (pipeline.PipelinedSimulation -- the dual-buffer
     walk/compute split of the reference, fmm.c:378-400).
+
+    ``leaf_active``: optional (nleaf,) mask gating P2P TARGET rows (block
+    timestepping: only leaves holding a particle whose KDK block closes at
+    this substep need forces -- the active_particle surface of
+    inc/adaptive.h).  Inactive rows are skipped by the redundant kernel
+    (zeroed chunk counts -> pl.when skips the tile) and zeroed elsewhere;
+    sources always remain the full tree.
 
     Returns (acc (n_leaf*S, 3) in original order incl. padding slots,
     diag dict).
@@ -148,13 +155,16 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
 
     nbr_overflow = jnp.asarray(False)
     if p2p_backend == "jnp":
-        acc_leaf = acc_leaf + p2p_jnp(tree, lists, mass, cfg.soften_scale,
-                                      rs, box)
+        acc_p2p = p2p_jnp(tree, lists, mass, cfg.soften_scale, rs, box)
+        if leaf_active is not None:
+            acc_p2p = jnp.where(leaf_active[:, None, None], acc_p2p, 0.0)
+        acc_leaf = acc_leaf + acc_p2p
     elif p2p_backend in ("indexing", "redundant"):
         from photons_tpu.ops.p2p_pallas import p2p_pallas
         acc_p2p, nbr_overflow = p2p_pallas(tree, lists, mass,
                                            cfg.soften_scale, rs, box,
-                                           layout=p2p_backend)
+                                           layout=p2p_backend,
+                                           leaf_active=leaf_active)
         acc_leaf = acc_leaf + acc_p2p
     else:
         raise ValueError(f"unknown p2p backend {p2p_backend!r}")
@@ -173,11 +183,15 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
     return acc_all, diag
 
 
-def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
+def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
+               active=None):
     """Full short-range FMM acceleration in the original particle order.
 
     ``valid``: optional liveness mask (capacity-padded sharded inputs);
     invalid slots contribute no mass and get zero acceleration.
+    ``active``: optional (N,) mask -- only forces ON active particles are
+    needed (block timestepping); a leaf is computed iff it holds an active
+    particle, and inactive particles' returned forces are unspecified.
 
     Returns (acc (N,3), diag dict of scalars).
     """
@@ -194,7 +208,17 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None):
         p2p_cap=cfg.p2p_neighbor_cap,
         adjacency_eps=1e-9 * cfg.boxsize)
 
-    acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend)
+    leaf_active = None
+    if active is not None:
+        n_pad = tree.perm.shape[0] - n
+        active_pad = jnp.concatenate(
+            [active, jnp.zeros((n_pad,), bool)]) if n_pad else active
+        leaf_active = jnp.any(
+            (active_pad[tree.perm].reshape(tree.n_leaf, tree.leaf_size)
+             & tree.mask), axis=1)
+
+    acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
+                              leaf_active=leaf_active)
     return acc_all[:n], diag
 
 

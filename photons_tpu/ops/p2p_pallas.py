@@ -253,7 +253,7 @@ def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
 
 def p2p_prepare(tree, lists, mass: float,
                 boxsize: Optional[float], layout: str = "redundant",
-                neighbor_cap: Optional[int] = None):
+                neighbor_cap: Optional[int] = None, leaf_active=None):
     """The 'collect' phase (dtime_p2p_collect analogue): build the kernel's
     input layout from the tree + neighbor table.  Returns a dict of arrays
     consumed by :func:`p2p_compute`."""
@@ -278,6 +278,10 @@ def p2p_prepare(tree, lists, mass: float,
         tgt_rel = planes - centers[:, :, None]
         used = jnp.sum(table >= 0, axis=1) * s
         chunk_counts = -(-used // LANES)
+        if leaf_active is not None:
+            # block timestepping: inactive target rows are skipped by the
+            # kernel's pl.when (zero used chunks -> no tile compute)
+            chunk_counts = jnp.where(leaf_active, chunk_counts, 0)
         return {"layout": layout, "tgt": tgt_rel, "masses": masses,
                 "src_planes": src_planes, "src_mass": src_mass,
                 "chunk_counts": chunk_counts, "overflow": overflow}
@@ -286,6 +290,10 @@ def p2p_prepare(tree, lists, mass: float,
         k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
         if k_pad:
             table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
+        if leaf_active is not None:
+            # inactive rows: empty the table row (entries -1 -> the kernel
+            # masks the sources; row DMA still runs but computes nothing)
+            table = jnp.where(leaf_active[:, None], table, -1)
         return {"layout": layout, "planes": planes, "masses": masses,
                 "table": table, "overflow": overflow}
     raise ValueError(f"unknown P2P layout {layout!r}")
@@ -313,7 +321,7 @@ def p2p_compute(prepared, eps: float, rs: Optional[float],
 def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
                boxsize: Optional[float], layout: str = "redundant",
                neighbor_cap: Optional[int] = None,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None, leaf_active=None):
     """P2P via a Pallas kernel -> per-particle acc (nleaf, S, 3).
 
     Drop-in replacement for ops.fmm_engine.p2p_jnp (= prepare + compute;
@@ -321,6 +329,7 @@ def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
     the reference's dtime_p2p_collect / dtime_p2p_self distinction).
     """
     prepared = p2p_prepare(tree, lists, mass, boxsize, layout=layout,
-                           neighbor_cap=neighbor_cap)
+                           neighbor_cap=neighbor_cap,
+                           leaf_active=leaf_active)
     acc = p2p_compute(prepared, eps, rs, boxsize, interpret=interpret)
     return acc, prepared["overflow"]

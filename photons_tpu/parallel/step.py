@@ -160,6 +160,19 @@ def rebalance_bounds(bounds, cost, relax: float = 0.3):
     return jnp.concatenate([bounds[:1], new_inner, bounds[d:]])
 
 
+def _global_invariants(tree, d: int):
+    """Global particle count + root monopole through the binary domain
+    tree (walk_toptree_m2m parity, toptree.c:185-202): wires
+    ``domain_tree_moments`` into the production diag so every sync
+    verifies no particle was silently dropped."""
+    from photons_tpu.parallel.toptree import domain_tree_moments
+    if d & (d - 1) == 0:                         # power-of-two grids
+        _, gm, gn = domain_tree_moments(tree, AXES)
+        return gn[0][0], gm[0][0, 0]
+    return (lax.psum(tree.counts[0][0], AXES),
+            lax.psum(tree.moments[0][0, 0], AXES))
+
+
 def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
                       p2p_backend: str, ghost_cap: int):
     """Open-boundary (Newtonian, no PM) per-shard forces.
@@ -190,11 +203,14 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
     n_m2l = diag["n_m2l"] + fdiag["n_m2l_far"]
     my_cost = (diag["n_p2p"] + n_m2l).astype(jnp.float32)
     overflow = diag["overflow"] | g_ovf | fdiag["overflow"]
+    n_global, _ = _global_invariants(tree, lax.axis_size(AXX)
+                                     * lax.axis_size(AXY))
     diag_out = {
         "n_p2p": lax.psum(diag["n_p2p"], AXES),
         "n_m2l": lax.psum(n_m2l, AXES),
         "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
         "cost": lax.all_gather(my_cost, AXES),
+        "n_global": n_global,
     }
     return acc, acc_pm, diag_out
 
@@ -249,6 +265,7 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
 
     _, near_mask, _ = toptree_far_field(
         _Root, AXES, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
+    n_global, mass_global = _global_invariants(_Root, d)
     ix = lax.axis_index(AXX)
     iy = lax.axis_index(AXY)
     rx = jnp.arange(d) // dy
@@ -289,6 +306,7 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
         "overflow": lax.pmax(
             (diag["overflow"] | g_ovf | halo_bad).astype(jnp.int32), AXES),
         "cost": cost,
+        "n_global": n_global,
     }
     return acc, acc_pm, diag_out
 
@@ -369,7 +387,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         in_specs=(shard, shard, shard, shard, shard, rep, rep,
                   gf_spec, rep, rep, rep),
         out_specs=(shard, shard, shard, shard, shard, rep, rep,
-                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
+                    "n_global": rep}),
         check_rep=False)
 
     @jax.jit
@@ -391,7 +410,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         mesh=mesh,
         in_specs=(shard, shard, rep, rep, gf_spec),
         out_specs=(shard, shard,
-                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep}),
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
+                    "n_global": rep}),
         check_rep=False)
 
     @jax.jit
@@ -417,6 +437,7 @@ class ShardedSimulation:
         self.mesh = as_grid_mesh(self.mesh, self.cfg)
         self._step, self._init_forces = make_sharded_step(
             self.cfg, self.mesh, self.p2p_backend)
+        self.n_total = int(np.asarray(self.state.valid).sum())
 
     @classmethod
     def from_arrays(cls, cfg: SimConfig, mesh: Mesh, pos, vel,
@@ -480,6 +501,16 @@ class ShardedSimulation:
                 "sharded-step capacity overflow (traversal caps, ghost/send "
                 "capacity, or shard capacity) -- enlarge the corresponding "
                 "config knobs")
+        # global invariant from the domain tree (walk_toptree_m2m parity):
+        # the binary-tree root count must equal the number of particles we
+        # started with -- catches silent drops the overflow flags missed
+        n_global = self.last_diag.get("n_global")
+        expected = getattr(self, "n_total", None)
+        if n_global is not None and expected is not None \
+                and int(n_global) != expected:
+            raise RuntimeError(
+                f"domain-tree particle count {int(n_global)} != {expected}: "
+                "particles lost or duplicated across shards")
 
     # -- IO ------------------------------------------------------------------
     def write_snapshot(self, a_tag: Optional[float] = None):

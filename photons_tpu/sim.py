@@ -109,10 +109,20 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
 
 
 def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
-    """One KDK step as a pure jitted function of (state, dk, dd, a_next)."""
+    """One KDK step as a pure jitted function of (state, dk, dd, a_next).
+
+    With ``cfg.fused_step=False`` the step is instead a sequence of
+    separately-jitted device programs (kick+drift, short-range force, PM,
+    closing kick): XLA then never co-schedules the FMM and PM subgraphs,
+    so peak HBM is the max of the stages rather than their sum -- the
+    knob that fits 256^3 on a single 16 GB v5e.
+    """
     grav = cfg.grav_const
     boxsize = cfg.boxsize
     periodic = cfg.periodic
+
+    if not cfg.fused_step:
+        return _make_step_fn_split(cfg, force_fn)
 
     @jax.jit
     def step(state: SimState, dk, dd, a_next):
@@ -126,6 +136,51 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
         return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                         a=jnp.asarray(a_next, state.pos.dtype)), diag
 
+    return step
+
+
+def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
+    """The fused step as four separate device programs (see make_step_fn)."""
+    grav = cfg.grav_const
+    boxsize = cfg.boxsize
+    periodic = cfg.periodic
+
+    @jax.jit
+    def kick_drift(pos, vel, acc, acc_pm, dk, dd):
+        dkh = 0.5 * dk * grav
+        vel = vel + (acc + acc_pm) * dkh
+        pos = pos + vel * dd
+        if periodic:
+            pos = wrap_periodic(pos, boxsize)
+        return pos, vel
+
+    # force_fn traces both halves; jitting two restrictions of it keeps the
+    # FMM and PM graphs in separate executables (DCE removes the other half)
+    @jax.jit
+    def short_part(pos):
+        acc, _, diag = force_fn(pos)
+        return acc, diag
+
+    @jax.jit
+    def pm_part(pos):
+        _, acc_pm, _ = force_fn(pos)
+        return acc_pm
+
+    @jax.jit
+    def close_kick(vel, acc, acc_pm, dk):
+        return vel + (acc + acc_pm) * (0.5 * dk * grav)
+
+    def step(state: SimState, dk, dd, a_next):
+        pos, vel = kick_drift(state.pos, state.vel, state.acc, state.acc_pm,
+                              dk, dd)
+        acc, diag = short_part(pos)
+        acc_pm = pm_part(pos)
+        vel = close_kick(vel, acc, acc_pm, dk)
+        return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                        a=jnp.asarray(a_next, jnp.dtype(cfg.dtype))), diag
+
+    step.short_part = short_part        # compute_forces reuses the split
+    step.pm_part = pm_part              # programs (same HBM ceiling)
     return step
 
 
@@ -143,6 +198,7 @@ class Simulation:
         self._force_fn = make_force_fn(self.cfg, self.engine)
         self._step_fn = make_step_fn(self.cfg, self._force_fn)
         self._force_jit = jax.jit(self._force_fn)
+        self._block_fns = None              # built lazily (adaptive="block")
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -179,7 +235,12 @@ class Simulation:
     last_diag: dict = dataclasses.field(default_factory=dict)
 
     def compute_forces(self):
-        acc, acc_pm, diag = self._force_jit(self.state.pos)
+        short_part = getattr(self._step_fn, "short_part", None)
+        if short_part is not None:      # split-dispatch mode (fused_step=False)
+            acc, diag = short_part(self.state.pos)
+            acc_pm = self._step_fn.pm_part(self.state.pos)
+        else:
+            acc, acc_pm, diag = self._force_jit(self.state.pos)
         self.state = dataclasses.replace(self.state, acc=acc, acc_pm=acc_pm)
         self._check_diag(diag)
 
@@ -267,7 +328,10 @@ class Simulation:
         windows_done = 0
         i = 0
         while i < n_steps:
-            if adaptive:
+            if adaptive == "block":
+                self.state, diag = self._block_macro_step(
+                    float(loga[i]), float(loga[i + 1]), eta, max_level)
+            elif adaptive:
                 level = self._adaptive_level(float(dk[i]), eta, max_level)
                 self.max_adaptive_level = max(self.max_adaptive_level, level)
                 n_sub = 1 << level
@@ -360,6 +424,113 @@ class Simulation:
                 window_t0 = time.perf_counter()
             i += 1
         return self.state
+
+    # -- per-particle block timesteps (inc/adaptive.h surface) ---------------
+    def _build_block_fns(self):
+        """Jitted pieces of the block-KDK substep (kdk_level/active_particle,
+        inc/adaptive.h:12-20 -- declared but never implemented in the
+        reference).  Each particle carries a level l; its KDK block spans
+        2^(L-l) fine steps.  A fine boundary's opening and closing sets
+        coincide, so one gated force evaluation serves both; particles not
+        at a boundary receive dkh = 0, making the vectorized kick a no-op
+        for them (no masks in the integrator itself)."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        grav = cfg.grav_const
+        if not self.engine.startswith("fmm"):
+            raise ValueError("block timestepping requires an fmm engine")
+        from photons_tpu.ops.fmm_engine import fmm_forces
+        backend = self.engine.partition("-")[2] or "jnp"
+
+        if cfg.longshort:
+            gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
+                                dtype=dtype)
+            pm = jax.jit(lambda pos: pm_accel(
+                pos, gf, mass=cfg.particle_mass, boxsize=cfg.boxsize,
+                n_side=cfg.n_side))
+        else:
+            pm = jax.jit(jnp.zeros_like)
+
+        @jax.jit
+        def short(pos, active):
+            return fmm_forces(pos, cfg, p2p_backend=backend, active=active)
+
+        @jax.jit
+        def kick(vel, acc, acc_pm, levels, dkh_arr):
+            dkh = dkh_arr[levels] * grav
+            return vel + (acc + acc_pm) * dkh[:, None]
+
+        @jax.jit
+        def drift(pos, vel, dd):
+            pos = pos + vel * dd
+            return wrap_periodic(pos, cfg.boxsize) if cfg.periodic else pos
+
+        @jax.jit
+        def levels_of(acc, acc_pm, tau, eta, max_level):
+            amag = jnp.sqrt(jnp.sum((acc + acc_pm) ** 2, axis=-1))
+            dt_req = eta * jnp.sqrt(
+                cfg.soften_scale / (jnp.maximum(amag, 1e-30) * grav))
+            lv = jnp.ceil(jnp.log2(jnp.maximum(tau / dt_req, 1.0)))
+            return jnp.clip(lv, 0, max_level).astype(jnp.int32)
+
+        self._block_fns = (short, pm, kick, drift, levels_of)
+
+    def _block_macro_step(self, loga0: float, loga1: float, eta: float,
+                          max_level: int):
+        """One macro step as per-particle block-KDK substeps.
+
+        Levels are frozen for the macro step (assigned from the opening
+        forces); forces at each fine boundary are computed only for leaves
+        holding closing particles (the reference's active_particle gating,
+        done as kernel-row skipping).  With all levels at 0 this reduces
+        exactly to the fixed KDK step."""
+        if self._block_fns is None:
+            self._build_block_fns()
+        short, pm, kick, drift, levels_of = self._block_fns
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        om, ox = cfg.omega_m, cfg.omega_x
+        s = self.state
+
+        tau = float(cosmology.kick_factor(loga0, loga1, om, ox))
+        levels = levels_of(s.acc, s.acc_pm, tau, eta, max_level)
+        level_max = int(jnp.max(levels))
+        nf = 1 << level_max
+        sub = np.linspace(loga0, loga1, nf + 1)
+        blocks = [1 << max(level_max - l, 0) for l in range(max_level + 1)]
+        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+
+        pos, vel, acc, acc_pm = s.pos, s.vel, s.acc, s.acc_pm
+        overflow = False
+        diag = {}
+        for j in range(nf):
+            dkh_open = jnp.asarray(
+                [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
+                 for b in blocks], dtype)
+            vel = kick(vel, acc, acc_pm, levels, dkh_open)
+            dd = float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
+            pos = drift(pos, vel, dd)
+
+            closing = np.array([(j + 1) % b == 0 for b in blocks])
+            active = jnp.asarray(closing)[levels]
+            acc_new, dsub = short(pos, active)
+            acc = jnp.where(active[:, None], acc_new, acc)
+            if j == nf - 1:
+                acc_pm = pm(pos)            # long range on the macro cadence
+            dkh_close = jnp.asarray(
+                [0.5 * kf(sub[j + 1 - b], sub[j + 1])
+                 if (j + 1) % b == 0 else 0.0 for b in blocks], dtype)
+            vel = kick(vel, acc, acc_pm, levels, dkh_close)
+            if "overflow" in dsub:
+                overflow = dsub["overflow"] | overflow
+            diag = dsub
+        if "overflow" in diag:
+            diag = dict(diag)
+            diag["overflow"] = overflow
+        self.max_adaptive_level = max(self.max_adaptive_level, level_max)
+        state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                         a=jnp.asarray(np.exp(loga1), dtype))
+        return state, diag
 
     def _adaptive_level(self, dk: float, eta: float, max_level: int) -> int:
         """Refinement level from dt <= eta*sqrt(eps/(G*|a|_max)): the kick

@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--leaf-size", type=int, default=128)
     ap.add_argument("--pm-compare", action="store_true",
                     help="also run the PM-only engine on the same IC")
+    ap.add_argument("--no-profile", action="store_true",
+                    help="skip the phase profiler (saves HBM headroom at "
+                         "the largest N: its separately-jitted phases "
+                         "allocate their own temporaries)")
+    ap.add_argument("--open-cap", type=int, default=128)
+    ap.add_argument("--p2p-cap", type=int, default=96)
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -57,7 +63,11 @@ def main():
     n = args.n
     cfg = lcdm_config(
         n_part=n ** 3, n_side=n, leaf_size=args.leaf_size, dtype="float32",
-        open_cap_per_node=128, p2p_neighbor_cap=96, m2l_cap_per_node=64,
+        open_cap_per_node=args.open_cap, p2p_neighbor_cap=args.p2p_cap,
+        m2l_cap_per_node=64,
+        # split FMM/PM dispatch at the largest N: co-scheduling both
+        # subgraphs in one program exceeds a v5e's 16 GB at 256^3
+        fused_step=n < 256,
         code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
     print(f"IC: Zel'dovich EH98 LCDM, N={n}^3, L={cfg.boxsize:g} kpc/h",
           flush=True)
@@ -72,7 +82,8 @@ def main():
           f"steps={args.steps}", flush=True)
     t0 = time.perf_counter()
     sim.run(n_steps=args.steps, a_final=args.a_final,
-            snapshot_times=(0.25, 0.5, args.a_final))
+            snapshot_times=(0.25, 0.5, args.a_final),
+            profile_interval=0 if args.no_profile else None)
     wall = time.perf_counter() - t0
     print(f"run: {wall:.1f}s total, {wall / args.steps:.2f} s/step",
           flush=True)

@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--verbosity", type=int, default=1)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--adaptive", choices=["off", "global", "block"],
+                    default="off",
+                    help="timestep refinement: 'global' = 2^k subcycling "
+                         "of the whole system, 'block' = per-particle KDK "
+                         "block levels (adaptive.h surface)")
+    ap.add_argument("--eta", type=float, default=0.025,
+                    help="timestep criterion dt <= eta*sqrt(eps/|a|)")
     args = ap.parse_args()
 
     import jax
@@ -72,9 +79,11 @@ def main():
               f"a={float(sim.state.a):.4f} -> {a_final:.4f} "
               f"({n_steps} steps) on {jax.devices()[0].platform}")
 
+    adaptive = {"off": False, "global": True, "block": "block"}[args.adaptive]
     t0 = time.perf_counter()
     sim.run(n_steps=n_steps, a_final=a_final,
-            snapshot_times=cfg.snap_times if cfg.snap_times else None)
+            snapshot_times=cfg.snap_times if cfg.snap_times else None,
+            adaptive=adaptive, eta=args.eta)
     dt = time.perf_counter() - t0
 
     path = sim.write_snapshot()

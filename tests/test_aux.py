@@ -103,3 +103,57 @@ def test_elastic_capacity_recovery():
     assert small.cfg.open_cap_per_node > 2     # capacities were grown
     np.testing.assert_allclose(np.asarray(small.state.pos),
                                np.asarray(big.state.pos), rtol=1e-12)
+
+
+def test_block_timesteps_match_fixed_when_smooth():
+    """Per-particle block stepping (kdk_level surface): with a generous eta
+    every particle sits at level 0 and the scheme reduces EXACTLY to the
+    fixed KDK step (the L=0 path is the same kick/drift/force sequence)."""
+    cfg = _cfg(n_part_total=256, leaf_size=16)
+    rng = np.random.default_rng(4)
+    pos = rng.uniform(0, 50.0, (256, 3))
+    a1 = cfg.initial_scale_factor * 1.05
+    s1 = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    s1.run(n_steps=2, a_final=a1)
+    s2 = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    s2.run(n_steps=2, a_final=a1, adaptive="block", eta=1e6)
+    assert s2.max_adaptive_level == 0
+    np.testing.assert_allclose(np.asarray(s1.state.pos),
+                               np.asarray(s2.state.pos), rtol=0, atol=1e-13)
+
+
+def test_block_timesteps_refine_per_particle():
+    """A tight pair forces high levels for ITS particles while the smooth
+    background stays at level 0; trajectory stays finite and momentum is
+    conserved (the per-particle refinement the reference only declares,
+    inc/adaptive.h:12-20)."""
+    cfg = _cfg(n_part_total=128, leaf_size=16)
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0, 50.0, (128, 3))
+    pos[1] = pos[0] + np.array([1.5 * cfg.soften_scale, 0, 0])
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    sim.run(n_steps=1, a_final=cfg.initial_scale_factor * 1.2,
+            adaptive="block", eta=0.01, max_level=4)
+    assert sim.max_adaptive_level >= 1
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+    # block steps kick pair members at different cadences, so momentum is
+    # conserved only to the force-variation scale (not machine precision)
+    v = np.asarray(sim.state.vel)
+    assert np.abs(v.sum(0)).max() < 1e-4 * np.abs(v).max() * len(v)
+
+
+def test_block_timesteps_gated_forces_match_full():
+    """Gating P2P rows by the active mask must not change active particles'
+    forces: compare a gated evaluation against the full one."""
+    import jax
+    from photons_tpu.ops.fmm_engine import fmm_forces
+
+    cfg = _cfg(n_part_total=512, leaf_size=16)
+    rng = np.random.default_rng(6)
+    pos = jnp.asarray(rng.uniform(0, 50.0, (512, 3)))
+    active = jnp.asarray(rng.uniform(size=512) < 0.3)
+    full, _ = jax.jit(lambda p: fmm_forces(p, cfg))(pos)
+    gated, _ = jax.jit(lambda p, a: fmm_forces(p, cfg, active=a))(pos, active)
+    np.testing.assert_allclose(np.asarray(gated)[np.asarray(active)],
+                               np.asarray(full)[np.asarray(active)],
+                               rtol=0, atol=1e-12)

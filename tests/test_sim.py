@@ -149,3 +149,24 @@ def test_ic_zeldovich_lcdm_spectrum():
     assert pos.min() >= 0 and pos.max() < cfg.boxsize
     k_m, p_m, _ = power_spectrum(pos, cfg.boxsize, 16)
     assert np.isfinite(p_m).all()
+
+
+def test_split_step_matches_fused():
+    """fused_step=False (separate kick/FMM/PM device programs -- the 256^3
+    HBM-ceiling mode) must reproduce the fused one-jit trajectory."""
+    from photons_tpu.config import SimConfig
+    from photons_tpu.sim import Simulation
+
+    cfg = SimConfig(boxsize=50.0, n_side=32, n_part_total=512,
+                    dtype="float64", leaf_size=16)
+    rng = np.random.default_rng(31)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    a1 = cfg.initial_scale_factor * 1.05
+
+    s1 = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    s1.run(n_steps=3, a_final=a1)
+    s2 = Simulation.from_arrays(cfg.replace(fused_step=False), pos,
+                                np.zeros_like(pos), engine="fmm")
+    s2.run(n_steps=3, a_final=a1)
+    np.testing.assert_allclose(np.asarray(s1.state.pos),
+                               np.asarray(s2.state.pos), rtol=0, atol=1e-12)
