@@ -139,6 +139,29 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
     return step
 
 
+def _aot_wrap(jitted):
+    """Call through an ahead-of-time-compiled executable.
+
+    The axon dispatch-time compile attaches options (auto output layouts)
+    under which XLA materializes a lane-padded (3N, 3) fusion output --
+    24 GB at 256^3 -- while the same HLO through ``lower().compile()``
+    chooses compact layouts and fits.  Shapes are static per run, so one
+    AOT executable per argument signature is exact."""
+    cache = {}
+
+    def call(*args):
+        key = tuple(
+            (a.shape, str(a.dtype)) if hasattr(a, "shape") else type(a)
+            for a in args)
+        compiled = cache.get(key)
+        if compiled is None:
+            compiled = jitted.lower(*args).compile()
+            cache[key] = compiled
+        return compiled(*args)
+
+    return call
+
+
 def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
     """The fused step as four separate device programs (see make_step_fn)."""
     grav = cfg.grav_const
@@ -170,17 +193,20 @@ def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
     def close_kick(vel, acc, acc_pm, dk):
         return vel + (acc + acc_pm) * (0.5 * dk * grav)
 
+    short_aot = _aot_wrap(short_part)
+    pm_aot = _aot_wrap(pm_part)
+
     def step(state: SimState, dk, dd, a_next):
         pos, vel = kick_drift(state.pos, state.vel, state.acc, state.acc_pm,
                               dk, dd)
-        acc, diag = short_part(pos)
-        acc_pm = pm_part(pos)
+        acc, diag = short_aot(pos)
+        acc_pm = pm_aot(pos)
         vel = close_kick(vel, acc, acc_pm, dk)
         return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                         a=jnp.asarray(a_next, jnp.dtype(cfg.dtype))), diag
 
-    step.short_part = short_part        # compute_forces reuses the split
-    step.pm_part = pm_part              # programs (same HBM ceiling)
+    step.short_part = short_aot         # compute_forces reuses the split
+    step.pm_part = pm_aot               # programs (same HBM ceiling)
     return step
 
 
