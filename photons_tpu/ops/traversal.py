@@ -69,16 +69,9 @@ class InteractionLists:
     overflow: jax.Array
 
 
-def acceptance_flags(dist, w_t, w_s, count_t, count_s, theta: float,
-                     cutoff: Optional[float], adjacency_eps: float):
-    """Vectorized MAC: returns int flags 1=accept, 0=open, -1=discard."""
-    w = 0.5 * (w_t + w_s)
-    gap = jnp.maximum(jnp.abs(dist) - w, 0.0)
-    gap_sum = jnp.sum(gap, axis=-1)
-    dm2 = jnp.sum(gap * gap, axis=-1)
-    dd2 = jnp.sum(dist * dist, axis=-1)
-    wmax2 = 2.0 * jnp.max(w, axis=-1)
-
+def _flags_from_measures(gap_sum, dm2, dd2, wmax2, count_t, count_s,
+                         theta: float, cutoff: Optional[float],
+                         adjacency_eps: float):
     accept = (wmax2 * wmax2) < (theta * theta) * dd2
     flags = jnp.where(accept, 1, 0)
     if cutoff is not None:
@@ -89,6 +82,40 @@ def acceptance_flags(dist, w_t, w_s, count_t, count_s, theta: float,
     # empty nodes never interact
     flags = jnp.where((count_t == 0) | (count_s == 0), -1, flags)
     return flags
+
+
+def acceptance_flags(dist, w_t, w_s, count_t, count_s, theta: float,
+                     cutoff: Optional[float], adjacency_eps: float):
+    """Vectorized MAC: returns int flags 1=accept, 0=open, -1=discard."""
+    w = 0.5 * (w_t + w_s)
+    gap = jnp.maximum(jnp.abs(dist) - w, 0.0)
+    return _flags_from_measures(
+        jnp.sum(gap, axis=-1), jnp.sum(gap * gap, axis=-1),
+        jnp.sum(dist * dist, axis=-1), 2.0 * jnp.max(w, axis=-1),
+        count_t, count_s, theta, cutoff, adjacency_eps)
+
+
+def acceptance_flags_axes(dists, w_ts, w_ss, count_t, count_s, theta: float,
+                          cutoff: Optional[float], adjacency_eps: float):
+    """Per-axis MAC: identical semantics to :func:`acceptance_flags` but
+    computed from three separate per-axis arrays.
+
+    Keeping the candidate geometry as 2-D (rows, K) per-axis tensors
+    matters on TPU: a gathered (rows, K, 3) block can be assigned a
+    {1,0}-major layout whose (8,128) tiling pads the 3-axis to 128 lanes --
+    a 42x expansion that is a 16 GB temp at 256^3 (measured).  Per-axis
+    2-D tensors are always lane-compact.
+    """
+    gap_sum = dm2 = dd2 = wmax2 = 0.0
+    for dx, wt, ws in zip(dists, w_ts, w_ss):
+        w = 0.5 * (wt + ws)
+        gap = jnp.maximum(jnp.abs(dx) - w, 0.0)
+        gap_sum = gap_sum + gap
+        dm2 = dm2 + gap * gap
+        dd2 = dd2 + dx * dx
+        wmax2 = jnp.maximum(wmax2, 2.0 * w)
+    return _flags_from_measures(gap_sum, dm2, dd2, wmax2, count_t, count_s,
+                                theta, cutoff, adjacency_eps)
 
 
 def _row_compact(vals, mask, cap: int):
@@ -181,10 +208,16 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         valid = cand >= 0
         safe = jnp.maximum(cand, 0)
 
-        dist = _min_image(
-            centers_t[d + 1][:, None, :] - centers_s[d + 1][safe], boxsize)
-        flags = acceptance_flags(
-            dist, widths_t[d + 1][:, None, :], widths_s[d + 1][safe],
+        # per-axis 2-D gathers (see acceptance_flags_axes: a fused
+        # (n_t, K, 3) gather can be tile-padded 42x on TPU)
+        dists = tuple(
+            _min_image(centers_t[d + 1][:, None, ax]
+                       - centers_s[d + 1][:, ax][safe], boxsize)
+            for ax in range(3))
+        w_ts = tuple(widths_t[d + 1][:, None, ax] for ax in range(3))
+        w_ss = tuple(widths_s[d + 1][:, ax][safe] for ax in range(3))
+        flags = acceptance_flags_axes(
+            dists, w_ts, w_ss,
             counts_t[d + 1][:, None], counts_s[d + 1][safe],
             theta, cutoff, adjacency_eps)
         flags = jnp.where(valid, flags, -1)

@@ -55,7 +55,9 @@ def cic_paint(pos, boxsize: float, n_side: int, weights=None):
         idx, w = _corner(i0, f, n_side, *c)
         if weights is not None:
             w = w * weights
-        mesh = mesh.at[idx].add(w)
+        # barrier: keep the 8 corner scatters as separate (N,)-shaped
+        # steps -- see cic_read_vector
+        mesh = jax.lax.optimization_barrier(mesh.at[idx].add(w))
     return mesh.reshape(n_side, n_side, n_side)
 
 
@@ -64,11 +66,17 @@ def cic_read_vector(field, pos, boxsize: float, n_side: int):
 
     This is the reference's per-axis CIC interpolation of the 8 surrounding
     gradient values (partmesh.c:1385-1392 and the dp[0..7] blocks).
+
+    The optimization barrier between corner accumulations stops XLA from
+    batching several corner gathers into one concatenated fusion output --
+    a (3N, 3) buffer whose forced (8,128) tile padding is 24 GB at 256^3,
+    past a whole v5e HBM.  Eight sequential (N, 3) gathers compute the
+    same thing in eight 200 MB steps.
     """
     i0, f = _cic_base(pos, boxsize, n_side)
     flat = field.reshape(n_side**3, -1)
     out = jnp.zeros((pos.shape[0], flat.shape[1]), pos.dtype)
     for c in _CORNERS:
         idx, w = _corner(i0, f, n_side, *c)
-        out = out + flat[idx] * w[:, None]
+        out = jax.lax.optimization_barrier(out + flat[idx] * w[:, None])
     return out

@@ -155,7 +155,18 @@ def _aot_wrap(jitted):
             for a in args)
         compiled = cache.get(key)
         if compiled is None:
-            compiled = jitted.lower(*args).compile()
+            lowered = jitted.lower(*args)
+            try:
+                compiled = lowered.compile()
+            except Exception:
+                # leave the program text behind for layout-OOM debugging
+                import tempfile
+                path = os.path.join(
+                    tempfile.gettempdir(),
+                    f"photons_aot_fail_{abs(id(jitted)) % 99991}.mlir")
+                with open(path, "w") as fh:
+                    fh.write(lowered.as_text())
+                raise
             cache[key] = compiled
         return compiled(*args)
 
@@ -281,10 +292,13 @@ class Simulation:
                     "(SURVEY.md section 7, 'static shapes for an adaptive "
                     "structure')")
 
-    def _grow_capacities(self, factor: int = 4):
+    def _grow_capacities(self, factor: int = 2):
         """Elastic recovery: grow the static capacity knobs and recompile
         (the 'recompile when capacities overflow' policy, SURVEY.md 7;
-        the reference instead aborts or silently truncates)."""
+        the reference instead aborts or silently truncates).  Factor 2:
+        a x4 jump at 256^3 widens the per-level M2L tables into
+        multi-GB multipole intermediates that can exceed single-chip HBM
+        before a gentler growth would have sufficed."""
         self.cfg = self.cfg.replace(
             open_cap_per_node=self.cfg.open_cap_per_node * factor,
             m2l_cap_per_node=self.cfg.m2l_cap_per_node * factor,
