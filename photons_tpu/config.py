@@ -56,6 +56,12 @@ class SimConfig:
 
     # --- numerics ----------------------------------------------------------
     dtype: str = "float32"              # device dtype for particle state
+    cic_backend: str = "auto"           # CIC paint/readout: "auto" uses the
+    # Pallas leaf-brick kernels on TPU (pm/cic_pallas.py) and XLA
+    # scatter/gather elsewhere; "xla" / "pallas" force a choice
+    cic_tile: int = 32                  # Pallas CIC brick cells per x/y axis
+    # (a leaf's CIC footprint must fit; overflow is flagged like the
+    # traversal capacities)
     # capacity knobs for static-shape traversal (see ops/traversal.py)
     p2p_neighbor_cap: int = 256         # max P2P source leaves per target leaf
     m2l_cap_per_node: int = 64          # max M2L sources per target node/level

@@ -126,7 +126,7 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
 
 
 def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
-              p2p_backend: str = "jnp", leaf_active=None):
+              p2p_backend: str = "jnp", leaf_active=None, extra_leaf=None):
     """Force evaluation given precomputed interaction lists (the compute
     half of fmm_task, fmm.c:947-1024): M2L + L2L + L2P + P2P, scattered
     back to the pre-sort particle order.
@@ -171,20 +171,83 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
 
     # scatter back to the original particle order (perm: sorted -> original);
     # mask so invalid (padding) slots always carry zero acceleration
-    flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
-    acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
-    acc_all = acc_all.at[tree.perm].set(flat)
-
     diag = {
         "n_p2p": lists.p2p_count,
         "n_m2l": sum(lists.m2l_counts),
         "overflow": lists.overflow | nbr_overflow,
     }
-    return acc_all, diag
+    if extra_leaf is not None:
+        acc_all, extra_all = scatter_leaf_values(tree, acc_leaf, extra_leaf)
+        return (acc_all, extra_all), diag
+    return scatter_leaf_values(tree, acc_leaf), diag
+
+
+def scatter_leaf_values(tree: Tree, *leaf_vals):
+    """Scatter leaf-order (nleaf, S, C) values to the pre-sort order.
+
+    Multiple arrays are scattered through ONE fused (N, sum C) scatter --
+    a TPU permutation scatter at 16.7M rows costs ~1.4 s, so sharing it
+    between the short-range and PM results matters.
+    Returns one (N', C) array or a tuple matching the inputs."""
+    cat = (leaf_vals[0] if len(leaf_vals) == 1
+           else jnp.concatenate(leaf_vals, axis=-1))
+    c = cat.shape[-1]
+    flat = jnp.where(tree.mask[..., None], cat, 0.0).reshape(-1, c)
+    out = jnp.zeros((tree.perm.shape[0], c), flat.dtype).at[tree.perm].set(
+        flat)
+    if len(leaf_vals) == 1:
+        return out
+    splits = []
+    o = 0
+    for v in leaf_vals:
+        splits.append(out[:, o:o + v.shape[-1]])
+        o += v.shape[-1]
+    return tuple(splits)
+
+
+def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
+    """PM acceleration at the tree's particles via the Pallas CIC kernels.
+
+    Reuses the engine's Hilbert leaf blocking -- the sort that XLA-side
+    ``pm_accel_pallas`` would redo, and the unsort scatter it would add,
+    are already paid by the FMM pipeline (the caller co-scatters the
+    result through scatter_leaf_values).
+
+    Returns (acc_pm_leaf (nleaf, S, 3), fits_all).
+    """
+    from photons_tpu.pm.cic_pallas import (brick_origins, fold_halos,
+                                           pad_periodic, paint_leaves,
+                                           read_leaves)
+    from photons_tpu.pm.solver import gradient_4th, pm_potential
+
+    from photons_tpu.pm.cic_pallas import effective_tile
+    box = cfg.boxsize
+    n_side = cfg.n_side
+    tile = effective_tile(n_side, cfg.cic_tile)
+    origins, fits = brick_origins(tree.pos, tree.mask, n_side, tile, box)
+    wts = jnp.where(tree.mask & fits[:, None], 1.0, 0.0).astype(
+        tree.pos.dtype)
+    padded = paint_leaves(tree.pos, wts, origins, n_side, tile, box,
+                          interpret=interpret)
+    dens = fold_halos(padded, n_side) * (
+        cfg.particle_mass * (n_side / box) ** 3)
+    # layout firewall: the sliced view of the Pallas output can carry a
+    # non-major layout that the TPU fft thunk misreads (values verified
+    # correct, fft output garbage).  A barriered flatten/reshape forces a
+    # standard-layout materialization before the FFT.
+    dens = jax.lax.optimization_barrier(dens.reshape(-1)).reshape(
+        n_side, n_side, n_side)
+    phi = pm_potential(dens, gf.astype(dens.dtype))
+    grad = gradient_4th(phi, box)
+    fields = tuple(pad_periodic(grad[..., c], n_side) for c in range(3))
+    vals = read_leaves(tree.pos.astype(jnp.float32), fields, origins,
+                       n_side, tile, box, interpret=interpret)
+    acc_pm_leaf = jnp.moveaxis(vals, 1, 2).astype(tree.pos.dtype)
+    return acc_pm_leaf, jnp.all(fits)
 
 
 def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
-               active=None):
+               active=None, pm_gf=None):
     """Full short-range FMM acceleration in the original particle order.
 
     ``valid``: optional liveness mask (capacity-padded sharded inputs);
@@ -192,6 +255,9 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
     ``active``: optional (N,) mask -- only forces ON active particles are
     needed (block timestepping); a leaf is computed iff it holds an active
     particle, and inactive particles' returned forces are unspecified.
+    ``pm_gf``: optional Green's function -- compute the PM long-range
+    acceleration too, on the SAME tree (Pallas CIC kernels; one shared
+    unsort scatter).  Changes the return to ((acc, acc_pm), diag).
 
     Returns (acc (N,3), diag dict of scalars).
     """
@@ -216,6 +282,15 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
         leaf_active = jnp.any(
             (active_pad[tree.perm].reshape(tree.n_leaf, tree.leaf_size)
              & tree.mask), axis=1)
+
+    if pm_gf is not None:
+        acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
+        (acc_all, acc_pm_all), diag = fmm_apply(
+            tree, lists, cfg, p2p_backend=p2p_backend,
+            leaf_active=leaf_active, extra_leaf=acc_pm_leaf)
+        diag = dict(diag)
+        diag["overflow"] = diag["overflow"] | ~fits
+        return (acc_all[:n], acc_pm_all[:n]), diag
 
     acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
                               leaf_active=leaf_active)

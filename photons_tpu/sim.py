@@ -90,15 +90,33 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
                 n_images=1 if cfg.periodic else 0)
             return acc, pm_fn(pos), no_diag
     elif engine.startswith("fmm"):
-        from photons_tpu.ops.fmm_engine import make_fmm_force_fn
+        from photons_tpu.ops.fmm_engine import fmm_forces, make_fmm_force_fn
 
         # engine may carry a P2P backend suffix: fmm, fmm-indexing,
         # fmm-redundant (the two Pallas layouts), fmm-jnp
         backend = engine.partition("-")[2] or "jnp"
-        fmm_fn = make_fmm_force_fn(cfg, p2p_backend=backend)
 
         if cfg.pm_only:
             raise ValueError("pm_only config with an fmm engine")
+
+        use_pallas_cic = cfg.longshort and (
+            cfg.cic_backend == "pallas"
+            or (cfg.cic_backend == "auto"
+                and jax.default_backend() == "tpu"))
+        if use_pallas_cic:
+            # PM rides the FMM tree: Pallas CIC kernels on the Hilbert
+            # leaf blocks, one shared unsort scatter (pm_from_tree)
+            gf_t = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
+                                  dtype=dtype)
+
+            def force_fn(pos):
+                (acc, acc_pm), diag = fmm_forces(
+                    pos, cfg, p2p_backend=backend, pm_gf=gf_t)
+                return acc, acc_pm, diag
+            force_fn.pm_fused = True
+            return force_fn
+
+        fmm_fn = make_fmm_force_fn(cfg, p2p_backend=backend)
 
         def force_fn(pos):
             acc, diag = fmm_fn(pos)
@@ -188,6 +206,29 @@ def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
             pos = wrap_periodic(pos, boxsize)
         return pos, vel
 
+    @jax.jit
+    def close_kick(vel, acc, acc_pm, dk):
+        return vel + (acc + acc_pm) * (0.5 * dk * grav)
+
+    if getattr(force_fn, "pm_fused", False):
+        # Pallas-CIC PM shares the FMM tree and scatter: the force stage
+        # is ONE program (the kernels are opaque to XLA, so the temp
+        # co-scheduling blowup that motivated the FMM/PM split does not
+        # recur); kicks stay separate programs
+        forces_aot = _aot_wrap(jax.jit(force_fn))
+
+        def step(state: SimState, dk, dd, a_next):
+            pos, vel = kick_drift(state.pos, state.vel, state.acc,
+                                  state.acc_pm, dk, dd)
+            acc, acc_pm, diag = forces_aot(pos)
+            vel = close_kick(vel, acc, acc_pm, dk)
+            return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                            a=jnp.asarray(a_next, jnp.dtype(cfg.dtype))), \
+                diag
+
+        step.forces_all = forces_aot
+        return step
+
     # force_fn traces both halves; jitting two restrictions of it keeps the
     # FMM and PM graphs in separate executables (DCE removes the other half)
     @jax.jit
@@ -199,10 +240,6 @@ def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
     def pm_part(pos):
         _, acc_pm, _ = force_fn(pos)
         return acc_pm
-
-    @jax.jit
-    def close_kick(vel, acc, acc_pm, dk):
-        return vel + (acc + acc_pm) * (0.5 * dk * grav)
 
     short_aot = _aot_wrap(short_part)
     pm_aot = _aot_wrap(pm_part)
@@ -272,8 +309,11 @@ class Simulation:
     last_diag: dict = dataclasses.field(default_factory=dict)
 
     def compute_forces(self):
+        forces_all = getattr(self._step_fn, "forces_all", None)
         short_part = getattr(self._step_fn, "short_part", None)
-        if short_part is not None:      # split-dispatch mode (fused_step=False)
+        if forces_all is not None:      # split mode, tree-shared Pallas PM
+            acc, acc_pm, diag = forces_all(self.state.pos)
+        elif short_part is not None:    # split-dispatch mode (fused_step=False)
             acc, diag = short_part(self.state.pos)
             acc_pm = self._step_fn.pm_part(self.state.pos)
         else:
