@@ -107,7 +107,8 @@ def ic_zeldovich(cfg: SimConfig, seed: int = 12345, spectral_index=-1.0,
 
     psi = np.empty((n_side, n_side, n_side, 3))
     for d_ax, kc in enumerate((kx, ky, kz)):
-        psi[..., d_ax] = np.fft.irfftn(1j * kc / k2 * delta_k, s=(n_side,) * 3)
+        psi[..., d_ax] = np.fft.irfftn(1j * kc / k2 * delta_k, s=(n_side,) * 3,
+                                       axes=(0, 1, 2))
 
     rms = np.sqrt(np.mean(np.sum(psi**2, axis=-1)))
     spacing = L / n_side

@@ -240,7 +240,10 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     phi = pm_potential(dens, gf.astype(dens.dtype))
     grad = gradient_4th(phi, box)
     fields = tuple(pad_periodic(grad[..., c], n_side) for c in range(3))
-    vals = read_leaves(tree.pos.astype(jnp.float32), fields, origins,
+    # pass positions in their native dtype: the kernels compute CIC weights
+    # in the input dtype, so paint and readout agree on cell rounding (an
+    # f32 downcast here silently degraded readout coords in f64 runs)
+    vals = read_leaves(tree.pos, fields, origins,
                        n_side, tile, box, interpret=interpret)
     acc_pm_leaf = jnp.moveaxis(vals, 1, 2).astype(tree.pos.dtype)
     return acc_pm_leaf, jnp.all(fits)
@@ -289,7 +292,9 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
             tree, lists, cfg, p2p_backend=p2p_backend,
             leaf_active=leaf_active, extra_leaf=acc_pm_leaf)
         diag = dict(diag)
-        diag["overflow"] = diag["overflow"] | ~fits
+        # distinct key: elastic recovery must grow cfg.cic_tile for this,
+        # not the traversal caps (growing those cannot fix a CIC overflow)
+        diag["cic_overflow"] = ~fits
         return (acc_all[:n], acc_pm_all[:n]), diag
 
     acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,

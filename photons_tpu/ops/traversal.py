@@ -226,8 +226,12 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         if source_zone is not None:
             zone = source_zone[d + 1][safe] & valid
             # ghost-zone sources: open until the leaf level, then discard
-            # (their bodies are served by the leaf-aligned ghost exchange)
-            flags = jnp.where(zone & (counts_s[d + 1][safe] > 0),
+            # (their bodies are served by the leaf-aligned ghost exchange).
+            # Pairs already discarded for an empty TARGET node stay dead --
+            # re-opening them would re-expand dead pairs through every
+            # level and waste open_cap frontier slots on sparse shards.
+            flags = jnp.where(zone & (counts_s[d + 1][safe] > 0)
+                              & (counts_t[d + 1][:, None] > 0),
                               -1 if last else 0, flags)
         accept = flags == 1
         if last and leaf_unresolved == "m2l":

@@ -323,6 +323,14 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         raise NotImplementedError(
             "longshort without periodic wrap has no PM Green's function; "
             "use periodic=True (TreePM) or longshort=False (pure Newtonian)")
+    if d > 1 and cfg.periodic and not cfg.longshort:
+        # the multi-chip ghost selection (brick_gap2, non-wrapping) and the
+        # open-boundary far-field M2L ignore the periodic wrap; running them
+        # would give silently wrong forces across the periodic seam
+        raise NotImplementedError(
+            "pure-Newtonian periodic multi-chip is unsupported: the ghost "
+            "zone and far-field M2L are not wrap-aware; use longshort=True "
+            "(TreePM, min-image near field + periodic PM) or periodic=False")
     dtype = jnp.dtype(cfg.dtype)
     grav = cfg.grav_const
     box = cfg.boxsize

@@ -168,9 +168,9 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),    # py
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),    # pz
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),    # weights
-            pl.BlockSpec(memory_space=pltpu.ANY),         # mesh (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),         # mesh (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tile, tile, npz), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -239,9 +239,9 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 3, s), lambda i, o: (i, 0, 0)),
         scratch_shapes=[

@@ -44,7 +44,13 @@ ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array, dict]]
 
 class CapacityOverflowError(RuntimeError):
     """A static capacity (traversal frontier, M2L list, P2P neighbor table,
-    ...) was exceeded; results since the last verified state are invalid."""
+    CIC brick tile, ...) was exceeded; results since the last verified state
+    are invalid.  ``kind`` tells the elastic recovery which knob to grow:
+    'traversal' (open/m2l/p2p caps) or 'cic' (cic_tile)."""
+
+    def __init__(self, msg: str, kind: str = "traversal"):
+        super().__init__(msg)
+        self.kind = kind
 
 
 def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
@@ -325,6 +331,11 @@ class Simulation:
         if diag:
             self.last_diag = {k: (int(v) if hasattr(v, "item") else v)
                               for k, v in diag.items()}
+            if self.last_diag.get("cic_overflow"):
+                raise CapacityOverflowError(
+                    "CIC brick-tile overflow -- a leaf's particle spread "
+                    "exceeds cic_tile cells; enlarge cic_tile",
+                    kind="cic")
             if self.last_diag.get("overflow"):
                 raise CapacityOverflowError(
                     "traversal capacity overflow -- enlarge "
@@ -332,17 +343,24 @@ class Simulation:
                     "(SURVEY.md section 7, 'static shapes for an adaptive "
                     "structure')")
 
-    def _grow_capacities(self, factor: int = 2):
+    def _grow_capacities(self, factor: int = 2, kind: str = "traversal"):
         """Elastic recovery: grow the static capacity knobs and recompile
         (the 'recompile when capacities overflow' policy, SURVEY.md 7;
         the reference instead aborts or silently truncates).  Factor 2:
         a x4 jump at 256^3 widens the per-level M2L tables into
         multi-GB multipole intermediates that can exceed single-chip HBM
-        before a gentler growth would have sufficed."""
-        self.cfg = self.cfg.replace(
-            open_cap_per_node=self.cfg.open_cap_per_node * factor,
-            m2l_cap_per_node=self.cfg.m2l_cap_per_node * factor,
-            p2p_neighbor_cap=self.cfg.p2p_neighbor_cap * factor)
+        before a gentler growth would have sufficed.
+
+        kind='cic' grows only the CIC brick tile (leaf spread exceeded
+        cic_tile cells); growing the traversal caps for that case would
+        burn recompile/rollback cycles without fixing anything."""
+        if kind == "cic":
+            self.cfg = self.cfg.replace(cic_tile=self.cfg.cic_tile * factor)
+        else:
+            self.cfg = self.cfg.replace(
+                open_cap_per_node=self.cfg.open_cap_per_node * factor,
+                m2l_cap_per_node=self.cfg.m2l_cap_per_node * factor,
+                p2p_neighbor_cap=self.cfg.p2p_neighbor_cap * factor)
         self.__post_init__()
 
     def run(self, n_steps: Optional[int] = None,
@@ -385,11 +403,11 @@ class Simulation:
                     self.compute_forces()
                     jax.block_until_ready(self.state.acc)
                 break
-            except CapacityOverflowError:
+            except CapacityOverflowError as e:
                 retries += 1
                 if retries > max_retries:
                     raise
-                self._grow_capacities()
+                self._grow_capacities(kind=e.kind)
 
         if profile_interval is None and self.log is not None:
             profile_interval = 1            # one phase profile per window
@@ -397,17 +415,28 @@ class Simulation:
         if profile_interval:
             from photons_tpu.profiling import PhaseProfiler
             profiler = PhaseProfiler(self.cfg, self.engine)
+            # compile + run all phases once NOW so no in-loop profile ever
+            # records compilation (stale compile-inclusive rows, VERDICT r1)
+            profiler.warm(self.state.pos)
 
         self.max_adaptive_level = 0
         # rollback point for elastic capacity recovery: results between
         # verified syncs are invalid if an overflow is detected
         verified_state, verified_i = self.state, 0
-        pending_ovf = False
+        pending_ovf = {}
         pending_rows = []        # buffered log rows, flushed at each sync
         window_t0 = time.perf_counter()
         windows_done = 0
+        # real per-step wall-clock rows: once steps are slow enough that a
+        # per-step completion fence (~70 ms through the axon tunnel) is
+        # noise, fence every step so log rows carry true per-step times
+        # (the reference's rows are real measurements, photoNs.c:320-333);
+        # fast small runs keep the honest window average instead
+        fence_per_step = False
+        _FENCE_THRESHOLD = 0.5          # s/step
         i = 0
         while i < n_steps:
+            t_step0 = time.perf_counter()
             if adaptive == "block":
                 self.state, diag = self._block_macro_step(
                     float(loga[i]), float(loga[i + 1]), eta, max_level)
@@ -425,31 +454,40 @@ class Simulation:
                     self.state, dsub = self._step_fn(
                         self.state, float(dkj), float(ddj),
                         float(np.exp(sub_loga[j + 1])))
-                    if "overflow" in dsub and "overflow" in diag:
-                        dsub = dict(dsub)
-                        dsub["overflow"] = dsub["overflow"] | diag["overflow"]
+                    dsub = dict(dsub)
+                    for key in ("overflow", "cic_overflow"):
+                        if key in dsub and key in diag:
+                            dsub[key] = dsub[key] | diag[key]
                     diag = dsub
             else:
                 self.state, diag = self._step_fn(
                     self.state, float(dk[i]), float(dd[i]),
                     float(a_grid[i + 1]))
             a_now = float(a_grid[i + 1])
-            # accumulate the overflow flag ON DEVICE across the whole
+            # accumulate the overflow flags ON DEVICE across the whole
             # check window (a transient overflow in any step invalidates
             # the window, not just the last step's)
-            if "overflow" in diag:
+            if "overflow" in diag or "cic_overflow" in diag:
                 diag = dict(diag)
-                diag["overflow"] = diag["overflow"] | pending_ovf
-                pending_ovf = diag["overflow"]
+                for key in ("overflow", "cic_overflow"):
+                    if key in diag:
+                        diag[key] = diag[key] | pending_ovf.get(key, False)
+                        pending_ovf[key] = diag[key]
             # device->host syncs cost ~70 ms each through the axon tunnel:
             # only materialize diagnostics every check_interval steps, on
             # the last step, and before any snapshot is written (snapshots
             # must never be taken from an unverified state)
             # one row per step (photoNs.c:318); counters/timers only refresh
-            # at syncs, so rows are buffered and flushed with honest
-            # window-averaged wall-clock (axon dispatch returns instantly,
-            # so per-step time.perf_counter deltas measure nothing)
-            pending_rows.append((i, a_now))
+            # at syncs, so rows are buffered and flushed; each row carries a
+            # real per-step wall-clock when fencing is on, else the honest
+            # window average (axon dispatch returns instantly, so unfenced
+            # per-step time.perf_counter deltas measure nothing)
+            if fence_per_step:
+                float(self.state.pos[0, 0])             # completion fence
+                pending_rows.append((i, a_now,
+                                     time.perf_counter() - t_step0))
+            else:
+                pending_rows.append((i, a_now, None))
 
             snap_due = bool(snap_left) and a_now >= snap_left[0] - 1e-12
             sync = (i % check_interval == check_interval - 1
@@ -462,8 +500,8 @@ class Simulation:
                     float(self.state.pos[0, 0])
                     self._check_diag(diag)
                     verified_state, verified_i = self.state, i + 1
-                    pending_ovf = False
-                except CapacityOverflowError:
+                    pending_ovf = {}
+                except CapacityOverflowError as e:
                     retries += 1
                     if retries > max_retries:
                         raise
@@ -471,9 +509,9 @@ class Simulation:
                     # popped, so due snapshots re-emit from the replay; the
                     # invalid window's buffered log rows are discarded and
                     # re-emitted by the replay)
-                    self._grow_capacities()
+                    self._grow_capacities(kind=e.kind)
                     self.state = verified_state
-                    pending_ovf = False
+                    pending_ovf = {}
                     i = verified_i
                     pending_rows = []
                     window_t0 = time.perf_counter()
@@ -481,17 +519,22 @@ class Simulation:
 
                 window_wall = time.perf_counter() - window_t0
                 step_avg = window_wall / max(1, len(pending_rows))
-                for _ in pending_rows:
-                    self.timers.add("step", step_avg)
+                for _, _, rdt in pending_rows:
+                    self.timers.add("step",
+                                    rdt if rdt is not None else step_avg)
+                if step_avg > _FENCE_THRESHOLD:
+                    fence_per_step = True
                 if (profiler is not None
                         and windows_done % profile_interval == 0):
                     profiler.profile(self.state.pos, self.timers)
                 windows_done += 1
                 if self.log is not None:
                     phases = self.timers.latest()
-                    for ri, ra in pending_rows:
+                    for ri, ra, rdt in pending_rows:
                         self.log.log_step(
-                            ri, ra, {**phases, "step": step_avg},
+                            ri, ra,
+                            {**phases,
+                             "step": rdt if rdt is not None else step_avg},
                             n_p2p=self.last_diag.get("n_p2p", 0),
                             n_m2l=self.last_diag.get("n_m2l", 0))
                 pending_rows = []

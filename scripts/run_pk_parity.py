@@ -41,9 +41,9 @@ def main():
     ap.add_argument("--pm-compare", action="store_true",
                     help="also run the PM-only engine on the same IC")
     ap.add_argument("--no-profile", action="store_true",
-                    help="skip the phase profiler (saves HBM headroom at "
-                         "the largest N: its separately-jitted phases "
-                         "allocate their own temporaries)")
+                    help="skip the phase profiler (it now compiles AOT "
+                         "with compact layouts and fits at 256^3; this "
+                         "escape hatch remains for debugging only)")
     ap.add_argument("--open-cap", type=int, default=128)
     ap.add_argument("--p2p-cap", type=int, default=96)
     ap.add_argument("--out", default="artifacts")

@@ -105,6 +105,33 @@ def test_elastic_capacity_recovery():
                                np.asarray(big.state.pos), rtol=1e-12)
 
 
+def test_elastic_cic_tile_recovery():
+    """A CIC brick-tile overflow must grow cfg.cic_tile (not the traversal
+    caps) and recover to the same trajectory as a generously-tiled run --
+    previously it burned all retries doubling the wrong knobs and raised a
+    misleading traversal-overflow error (ADVICE round 1, medium)."""
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, 50.0, (256, 3))
+    a1 = 0.02 * 1.05
+
+    # leaf_size=64 spreads each Hilbert leaf's particles over most of the
+    # box: with an 8-cell brick the CIC footprint cannot fit
+    big = Simulation.from_arrays(
+        _cfg(n_part_total=256, leaf_size=64, cic_backend="pallas"),
+        pos, np.zeros_like(pos), engine="fmm")
+    big.run(n_steps=2, a_final=a1, check_interval=1)
+
+    tiny = Simulation.from_arrays(
+        _cfg(n_part_total=256, leaf_size=64, cic_backend="pallas",
+             cic_tile=8),
+        pos, np.zeros_like(pos), engine="fmm")
+    tiny.run(n_steps=2, a_final=a1, check_interval=1)
+    assert tiny.cfg.cic_tile > 8               # the CIC knob was grown
+    assert tiny.cfg.open_cap_per_node == big.cfg.open_cap_per_node
+    np.testing.assert_allclose(np.asarray(tiny.state.pos),
+                               np.asarray(big.state.pos), rtol=1e-12)
+
+
 def test_block_timesteps_match_fixed_when_smooth():
     """Per-particle block stepping (kdk_level surface): with a generous eta
     every particle sits at level 0 and the scheme reduces EXACTLY to the
