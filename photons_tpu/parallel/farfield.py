@@ -1,33 +1,38 @@
-"""Open-boundary multi-chip far field: leaf-aligned ghost exchange +
-remote-tree M2L.
+"""Open-boundary multi-chip far field: systolic ring carrying each shard's
+tree (metadata + leaf bodies) one hop per stage.
 
 The reference serves inter-domain forces with MAC-pruned send-trees plus
 bodies over a rank ring (prepare_sendtree2, remotes.c:337-446; fmm_remote,
-remotes.c:740-809) and flags near domains in ExtDomain[] from a top-tree
-MAC walk (walk_toptree_m2l, toptree.c:204-244).  Under the Ewald split the
-ghost ring alone is exact (everything beyond the cutoff is discarded), but
-the open-boundary Newtonian mode needs the far field too.  TPU form:
+remotes.c:740-809): stage n sends to rank+n, and each received tree feeds
+BOTH the ext P2P walk and the ext M2L walk (fmm_remote_task,
+remotes.c:670-738).  TPU form -- one ``lax.scan`` whose carry is the
+visiting shard's tree, advanced one ``ppermute`` hop per stage, so the
+compiled program is O(1) in the device count (the round-1 version unrolled
+one traversal per remote domain: O(D) program, a compile-time wall at
+large meshes):
 
-1. **Leaf-aligned ghost exchange**: each shard ships WHOLE leaf blocks of
-   its local tree whose AABBs lie within a horizon H of the target's brick
-   (one ppermute per grid offset).  Ghost membership is a predicate of the
-   leaf AABB, so both sides agree exactly on which bodies travelled.
-2. **Remote-tree M2L**: per-level tree metadata (centers, widths, counts,
-   moments) is all_gathered once; each remote tree is dual-walked against
-   the local tree (dual_tree_traversal_pair) with the ghost zone carved
-   out: source nodes within H of my brick open until their leaves, which
-   are DISCARDED (their bodies arrived as ghosts) -- the exact complement
-   of step 1.  Pairs still open at the leaf level are force-accepted as
-   M2L; with H = 2*w_leaf_max/theta the MAC provably holds beyond the
-   horizon, so the fallback only fires for degenerate geometry.
-3. **Top-tree shortcut** (walk_toptreem2l parity): domains whose ROOT
-   already passes the MAC at gap > H skip the per-level walk entirely and
-   contribute ONE root-level M2L into the local expansion
-   (toptree_far_field's delta_root_l).
+1. **Ring carry**: per-level (centers, widths, counts, moments) plus the
+   leaf particle blocks.  After stage k the carry holds shard (me+k)'s
+   tree.
+2. **Receiver-side ghost selection**: leaves of the visiting tree whose
+   AABB is within horizon H of MY brick are appended to a fixed-capacity
+   ghost buffer (their bodies enter the local near-field FMM).  Ghost
+   membership is a predicate of the leaf AABB vs my brick, so it agrees
+   exactly with the far-field carve-out below.
+3. **Remote-tree M2L with the ghost zone carved out**: the visiting tree
+   is dual-walked against the local tree (dual_tree_traversal_pair);
+   source nodes within H of my brick open until their leaves, which are
+   DISCARDED (their bodies arrived as ghosts) -- the exact complement of
+   step 2.  Pairs still open at the leaf level are force-accepted as M2L;
+   with H = 2*w_leaf_max/theta the MAC provably holds beyond the horizon.
+4. **Top-tree shortcut** (walk_toptree_m2l parity, toptree.c:204-244):
+   domains whose ROOT passes the MAC at gap > H are handled by ONE
+   root-level M2L (their stages contribute nothing else: counts are
+   masked to zero, so the in-scan walk discards everything).
 
-The near field (local + ghost bodies) runs through the ordinary single-tree
-FMM; every (local, remote) particle pair is covered exactly once:
-P2P/near-M2L if the remote leaf was ghosted, remote M2L otherwise.
+The near field (local + ghost bodies) runs through the ordinary
+single-tree FMM; every (local, remote) particle pair is covered exactly
+once: P2P/near-M2L if the remote leaf was ghosted, remote M2L otherwise.
 """
 
 from __future__ import annotations
@@ -67,62 +72,18 @@ def ghost_horizon(tree: Tree, theta: float, axes) -> jax.Array:
     return 2.0 * w_max / theta * 1.0625          # margin for center offsets
 
 
-def gather_ghost_leaves(tree: Tree, xbounds, ybounds, horizon,
-                        leaf_cap: int, ax: str, ay: str):
-    """Ship whole leaf blocks within ``horizon`` of each neighbor's brick.
-
-    Returns (ghost_pos ((D-1)*leaf_cap*S, 3), ghost_valid, overflow).
-    """
-    dx = lax.axis_size(ax)
-    dy = lax.axis_size(ay)
-    ix = lax.axis_index(ax)
-    iy = lax.axis_index(ay)
-    s = tree.leaf_size
-    n_leaf = tree.n_leaf
-
-    centers = tree.centers[-1]
-    widths = tree.widths[-1]
-
-    ghost_pos, ghost_val = [], []
-    overflow = jnp.asarray(False)
-    for kx in range(dx):
-        for ky in range(dy):
-            if (kx, ky) == (0, 0):
-                continue
-            tx = (ix + kx) % dx
-            ty = (iy + ky) % dy
-            gap2 = brick_gap2(centers, widths, xbounds[tx], xbounds[tx + 1],
-                              ybounds[ty], ybounds[ty + 1])
-            sel = (gap2 <= horizon * horizon) & (tree.counts[-1] > 0)
-            # pack selected leaf blocks to the front (argsort by ~sel)
-            order = jnp.argsort(~sel, stable=True)[:leaf_cap]
-            buf = tree.pos[order]                        # (cap, S, 3)
-            val = tree.mask[order] & sel[order][:, None]
-            overflow |= jnp.sum(sel) > leaf_cap
-            if kx:
-                permx = [(i, (i + kx) % dx) for i in range(dx)]
-                buf = lax.ppermute(buf, ax, permx)
-                val = lax.ppermute(val, ax, permx)
-            if ky:
-                permy = [(i, (i + ky) % dy) for i in range(dy)]
-                buf = lax.ppermute(buf, ay, permy)
-                val = lax.ppermute(val, ay, permy)
-            ghost_pos.append(buf.reshape(-1, 3))
-            ghost_val.append(val.reshape(-1))
-    if not ghost_pos:
-        return (jnp.zeros((0, 3), tree.pos.dtype), jnp.zeros((0,), bool),
-                overflow)
-    return jnp.concatenate(ghost_pos), jnp.concatenate(ghost_val), overflow
-
-
-def open_far_field(tree: Tree, xbounds, ybounds, horizon, cfg: SimConfig,
-                   ax: str, ay: str):
-    """Far-field acceleration from all remote shards' non-ghosted mass.
+def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
+                         cfg: SimConfig, ghost_leaf_cap: int,
+                         ax: str, ay: str):
+    """Ring pass over all remote shards: far-field M2L acceleration plus
+    the in-horizon ghost leaf bodies, in one scan.
 
     tree: the LOCAL-ONLY shard tree (no ghosts -- its node AABBs stay
     inside the brick, so remote-M2L local expansions converge for every
-    contained particle).  Returns (acc (cap, 3) in the input particle
-    order, diag dict).
+    contained particle).
+
+    Returns (acc (cap, 3) in the input particle order,
+             ghost_pos (ghost_leaf_cap*S, 3), ghost_valid, diag dict).
     """
     dx = lax.axis_size(ax)
     dy = lax.axis_size(ay)
@@ -130,25 +91,22 @@ def open_far_field(tree: Tree, xbounds, ybounds, horizon, cfg: SimConfig,
     me = lax.axis_index(ax) * dy + lax.axis_index(ay)
     axes = (ax, ay)
     theta = cfg.open_angle
-
-    # one all_gather of the whole per-level tree metadata (toptree parity:
-    # connect_local_toptree Allgathers root multipoles, toptree.c:11-50;
-    # here every level travels so the remote walk can descend)
-    g_centers = [lax.all_gather(c, axes) for c in tree.centers]
-    g_widths = [lax.all_gather(w, axes) for w in tree.widths]
-    g_counts = [lax.all_gather(c, axes) for c in tree.counts]
-    g_moments = [lax.all_gather(m, axes) for m in tree.moments]
+    s = tree.leaf_size
+    dtype = tree.pos.dtype
 
     xlo = xbounds[lax.axis_index(ax)]
     xhi = xbounds[lax.axis_index(ax) + 1]
     ylo = ybounds[lax.axis_index(ay)]
     yhi = ybounds[lax.axis_index(ay) + 1]
+    h2 = horizon * horizon
 
     # ---- domain-level classification (walk_toptree_m2l, toptree.c:204) --
-    root_c = g_centers[0][:, 0]                     # (D, 3)
-    root_w = g_widths[0][:, 0]
-    root_n = g_counts[0][:, 0]
-    root_m = g_moments[0][:, 0]                     # (D, 20)
+    # only the ROOT metadata is all_gathered (O(D) scalars; the full trees
+    # travel hop-by-hop in the ring below)
+    root_c = lax.all_gather(tree.centers[0][0], axes)        # (D, 3)
+    root_w = lax.all_gather(tree.widths[0][0], axes)
+    root_n = lax.all_gather(tree.counts[0][0], axes)
+    root_m = lax.all_gather(tree.moments[0][0], axes)        # (D, 20)
     my_c = tree.centers[0][0]
     my_w = tree.widths[0][0]
     dist = root_c - my_c
@@ -160,45 +118,92 @@ def open_far_field(tree: Tree, xbounds, ybounds, horizon, cfg: SimConfig,
     nonself = jnp.arange(d_size) != me
     nonempty = root_n > 0
     # far domains: root MAC holds AND no leaf can be inside the ghost zone
-    far = mac_ok & (root_gap2 > horizon * horizon) & nonself & nonempty
+    far = mac_ok & (root_gap2 > h2) & nonself & nonempty
     near = nonself & nonempty & ~far                # ExtDomain[] analogue
 
-    locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
+    locals_init = tuple(jnp.zeros_like(m) for m in tree.moments)
 
     # single root M2L per far domain (delta_root_l)
     disp_far = jnp.where(far[:, None], my_c - root_c, 1.0)
     m_far = jnp.where(far[:, None], root_m, 0.0)
     dl = mp.m2l(m_far, disp_far, split_radius=None)
-    locals_per_level[0] = locals_per_level[0] + jnp.sum(
-        jnp.where(far[:, None], dl, 0.0), axis=0, keepdims=True)
+    locals_init = (locals_init[0] + jnp.sum(
+        jnp.where(far[:, None], dl, 0.0), axis=0, keepdims=True),
+    ) + locals_init[1:]
 
-    # ---- per-level walk against each near domain's tree -----------------
-    n_m2l = jnp.zeros((), jnp.int32)
-    overflow = jnp.asarray(False)
-    h2 = horizon * horizon
-    for k in range(1, d_size):
+    ghost_pos0 = jnp.zeros((ghost_leaf_cap, s, 3), dtype)
+    ghost_val0 = jnp.zeros((ghost_leaf_cap, s), bool)
+
+    if d_size == 1:
+        locals_per_level = downward_l2l(tree, list(locals_init))
+        acc_leaf = leaf_l2p(tree, locals_per_level[-1])
+        flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
+        acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
+        acc_all = acc_all.at[tree.perm].set(flat)
+        diag = {"n_m2l_far": jnp.sum(far).astype(jnp.int32),
+                "overflow": jnp.asarray(False), "near_mask": near}
+        return (acc_all, ghost_pos0.reshape(-1, 3), ghost_val0.reshape(-1),
+                diag)
+
+    # ---- systolic ring: one ppermute hop per scan stage -----------------
+    # shard me receives from me+1 each hop, so after k hops it holds
+    # shard (me+k)'s tree (the reference ring's recv-from (rank-n) with
+    # roles of sender/receiver mirrored, remotes.c:782-800)
+    perm = [(i, (i - 1) % d_size) for i in range(d_size)]
+
+    def rotate(a):
+        return lax.ppermute(a, axes, perm)
+
+    meta0 = (tuple(tree.centers), tuple(tree.widths), tuple(tree.counts),
+             tuple(tree.moments), tree.pos, tree.mask)
+
+    def stage(carry, k):
+        meta, locals_pl, gpos, gval, g_n, n_m2l, ovf = carry
+        meta = jax.tree_util.tree_map(rotate, meta)
+        centers_s, widths_s, counts_s, moments_s, leaf_pos, leaf_mask = meta
         src = (me + k) % d_size
         is_near = near[src]
-        centers_s = [c[src] for c in g_centers]
-        widths_s = [w[src] for w in g_widths]
-        counts_s = [jnp.where(is_near, c[src], 0) for c in g_counts]
-        moments_s = [jnp.where(is_near, m[src], 0.0) for m in g_moments]
+        counts_g = tuple(jnp.where(is_near, c, 0) for c in counts_s)
+        moments_g = tuple(jnp.where(is_near, m, 0.0) for m in moments_s)
+
+        # receiver-side ghost selection: visiting leaves inside MY horizon
+        leaf_gap2 = brick_gap2(centers_s[-1], widths_s[-1],
+                               xlo, xhi, ylo, yhi)
+        sel = (leaf_gap2 <= h2) & (counts_g[-1] > 0)
+        idx = jnp.cumsum(sel) - 1
+        dest = jnp.where(sel, g_n + idx, ghost_leaf_cap)
+        gpos = gpos.at[dest].set(leaf_pos, mode="drop")
+        gval = gval.at[dest].set(leaf_mask & sel[:, None], mode="drop")
+        n_sel = jnp.sum(sel).astype(jnp.int32)
+        ovf = ovf | (g_n + n_sel > ghost_leaf_cap)
+        g_n = jnp.minimum(g_n + n_sel, ghost_leaf_cap)
+
+        # remote-tree M2L with the ghost zone carved out
         zone = tuple((brick_gap2(c, w, xlo, xhi, ylo, yhi) <= h2)
                      for c, w in zip(centers_s, widths_s))
         lists = dual_tree_traversal_pair(
             tree.centers, tree.widths, tree.counts,
-            centers_s, widths_s, counts_s,
+            centers_s, widths_s, counts_g,
             theta=theta, cutoff=None, boxsize=None,
             open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
             p2p_cap=cfg.m2l_cap_per_node,
             adjacency_eps=0.0, leaf_unresolved="m2l", source_zone=zone)
-        locals_per_level = apply_m2l_pair(
-            tree, lists, centers_s, moments_s, split_radius=None,
-            boxsize=None, locals_per_level=locals_per_level)
-        n_m2l = n_m2l + jnp.where(is_near, sum(lists.m2l_counts), 0)
-        overflow |= lists.overflow & is_near
+        locals_pl = tuple(apply_m2l_pair(
+            tree, lists, centers_s, moments_g, split_radius=None,
+            boxsize=None, locals_per_level=list(locals_pl)))
+        n_m2l = (n_m2l
+                 + jnp.where(is_near, sum(lists.m2l_counts), 0)).astype(
+                     jnp.int32)
+        ovf = ovf | (lists.overflow & is_near)
+        return (meta, locals_pl, gpos, gval, g_n, n_m2l, ovf), None
 
-    locals_per_level = downward_l2l(tree, locals_per_level)
+    carry0 = (meta0, locals_init, ghost_pos0, ghost_val0,
+              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+              jnp.asarray(False))
+    (meta, locals_pl, gpos, gval, g_n, n_m2l, overflow), _ = lax.scan(
+        stage, carry0, jnp.arange(1, d_size))
+
+    locals_per_level = downward_l2l(tree, list(locals_pl))
     acc_leaf = leaf_l2p(tree, locals_per_level[-1])
 
     flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
@@ -208,4 +213,4 @@ def open_far_field(tree: Tree, xbounds, ybounds, horizon, cfg: SimConfig,
     diag = {"n_m2l_far": n_m2l + jnp.sum(far).astype(jnp.int32),
             "overflow": overflow,
             "near_mask": near}
-    return acc_all, diag
+    return acc_all, gpos.reshape(-1, 3), gval.reshape(-1), diag

@@ -146,24 +146,26 @@ def gather_ghosts_2d(pos, valid, xbounds, ybounds, cutoff: float,
 
     # geometric completeness: every unserved offset's brick must lie fully
     # beyond the cutoff of mine (checked against the worst pair of bricks
-    # at that offset, since bounds are shared grid lines)
-    unserved = [(kx, ky)
-                for kx in range(dx) for ky in range(dy)
-                if (kx, ky) != (0, 0) and (kx, ky) not in set(offs)]
-    bad = jnp.asarray(False)
-    for kx, ky in unserved:
-        # min over all source bricks of the gap between brick (i,j) and
-        # brick (i+kx, j+ky): evaluate for my brick (symmetric enough
-        # because the grid lines are global)
-        sx = (ix + kx) % dx
-        sy = (iy + ky) % dy
-        gx = _gap(xbounds[ix], xbounds[ix + 1], xbounds[sx], xbounds[sx + 1],
-                  boxsize)
-        gy = _gap(ybounds[iy], ybounds[iy + 1], ybounds[sy], ybounds[sy + 1],
-                  boxsize)
-        bad = bad | (gx * gx + gy * gy < cutoff * cutoff)
-    # any() over the grid: a single brick pair within reach flags everyone
-    bad = lax.pmax(bad.astype(jnp.int32), (ax, ay)).astype(bool)
+    # at that offset, since bounds are shared grid lines).  Vectorized over
+    # the whole (dx, dy) offset grid so program size stays O(1) in D.
+    import numpy as np
+    served = np.zeros((dx, dy), bool)
+    served[0, 0] = True
+    for kx, ky in offs:
+        served[kx, ky] = True
+    if not served.all():
+        sx = (ix + jnp.arange(dx)) % dx                       # (dx,)
+        sy = (iy + jnp.arange(dy)) % dy                       # (dy,)
+        gx = _gap(xbounds[ix], xbounds[ix + 1],
+                  xbounds[sx], xbounds[sx + 1], boxsize)      # (dx,)
+        gy = _gap(ybounds[iy], ybounds[iy + 1],
+                  ybounds[sy], ybounds[sy + 1], boxsize)      # (dy,)
+        within = (gx[:, None] ** 2 + gy[None, :] ** 2) < cutoff * cutoff
+        bad = jnp.any(within & ~jnp.asarray(served))
+        # any() over the grid: one brick pair within reach flags everyone
+        bad = lax.pmax(bad.astype(jnp.int32), (ax, ay)).astype(bool)
+    else:
+        bad = jnp.asarray(False)
 
     if ghost_pos:
         return (jnp.concatenate(ghost_pos), jnp.concatenate(ghost_val),

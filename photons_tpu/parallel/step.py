@@ -180,29 +180,30 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
     Near field: single-tree FMM over local + leaf-aligned ghost bodies.
     Far field: remote-tree M2L with the ghost zone carved out
     (parallel/farfield.py; reference fmm_remote + walk_toptree_m2l)."""
-    from photons_tpu.parallel.farfield import (gather_ghost_leaves,
-                                               ghost_horizon, open_far_field)
+    from photons_tpu.parallel.farfield import (far_field_and_ghosts,
+                                               ghost_horizon)
     from photons_tpu.tree.build import build_tree
 
     cap = pos.shape[0]
     tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
                       lo=0.0, hi=cfg.boxsize, valid=valid)
     horizon = ghost_horizon(tree, cfg.open_angle, AXES)
-    leaf_cap = max(1, ghost_cap // cfg.leaf_size)
-    gpos, gval, g_ovf = gather_ghost_leaves(tree, xbounds, ybounds, horizon,
-                                            leaf_cap, AXX, AXY)
+    # one shared ring buffer sized like round-1's per-offset buffers summed:
+    # every remote shard's in-horizon leaves may land here
+    d_other = max(1, lax.axis_size(AXX) * lax.axis_size(AXY) - 1)
+    leaf_cap = max(1, ghost_cap // cfg.leaf_size) * d_other
+    acc_far, gpos, gval, fdiag = far_field_and_ghosts(
+        tree, xbounds, ybounds, horizon, cfg, leaf_cap, AXX, AXY)
     pos_all = jnp.concatenate([pos, gpos])
     val_all = jnp.concatenate([valid, gval])
     acc_near, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
                                 valid=val_all)
-    acc_far, fdiag = open_far_field(tree, xbounds, ybounds, horizon, cfg,
-                                    AXX, AXY)
     acc = acc_near[:cap] + acc_far[:cap]
     acc_pm = jnp.zeros_like(acc)
 
     n_m2l = diag["n_m2l"] + fdiag["n_m2l_far"]
     my_cost = (diag["n_p2p"] + n_m2l).astype(jnp.float32)
-    overflow = diag["overflow"] | g_ovf | fdiag["overflow"]
+    overflow = diag["overflow"] | fdiag["overflow"]
     n_global, _ = _global_invariants(tree, lax.axis_size(AXX)
                                      * lax.axis_size(AXY))
     diag_out = {
