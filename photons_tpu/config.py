@@ -74,6 +74,8 @@ class SimConfig:
     shard_capacity_factor: float = 2.0  # per-shard particle padding factor
     ghost_cap_factor: float = 1.0       # ghost buffer size / shard capacity
     send_cap_factor: float = 0.5        # migration buffer size / capacity
+    pm_patch_factor: float = 1.5        # local PM patch size / uniform brick
+                                        # (allowed rebalance growth)
 
     # --- IO ---------------------------------------------------------------
     code_proj: str = "demo"

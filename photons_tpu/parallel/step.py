@@ -41,8 +41,6 @@ from photons_tpu.parallel.fft import (green_function_pencil2d,
                                       pencil_poisson_2d)
 from photons_tpu.parallel.halo import gather_ghosts_2d
 from photons_tpu.parallel.migrate import migrate_2d
-from photons_tpu.pm.mesh import cic_paint, cic_read_vector
-from photons_tpu.pm.solver import gradient_4th
 
 AXX = "x"
 AXY = "y"
@@ -216,6 +214,57 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
     return acc, acc_pm, diag_out
 
 
+def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig):
+    """Brick-local PM long-range forces (runs inside shard_map).
+
+    Patch paint -> rim fold -> 2-D pencil FFT -> ghost-plane potential ->
+    patch gradient + CIC readout: O(n^3/D) memory and collective volume
+    per device (the reference's local bounding-box meshes + owned-cell
+    exchange, partmesh.c:840-1251)."""
+    from photons_tpu.pm.brick import (expand_phi, fold_patch, gradient_patch,
+                                      paint_patch, patch_geometry,
+                                      read_patch_vector)
+    box = cfg.boxsize
+    n_side = cfg.n_side
+    dtype = pos.dtype
+    dx = lax.axis_size(AXX)
+    dy = lax.axis_size(AXY)
+    nx_loc = n_side // dx
+    ny_loc = n_side // dy
+    px = patch_geometry(n_side, dx, cfg.pm_patch_factor)
+    py = patch_geometry(n_side, dy, cfg.pm_patch_factor)
+    hx_pm = min(dx // 2, -(-(px + 4) // nx_loc)) if dx > 1 else 0
+    hy_pm = min(dy // 2, -(-(py + 4) // ny_loc)) if dy > 1 else 0
+    delta = box / n_side
+    ox = jnp.floor(xbounds[lax.axis_index(AXX)] / delta).astype(jnp.int32) - 1
+    oy = jnp.floor(ybounds[lax.axis_index(AXY)] / delta).astype(jnp.int32) - 1
+    need_x = (jnp.floor(xbounds[lax.axis_index(AXX) + 1] / delta)
+              .astype(jnp.int32) + 2 - ox)
+    need_y = (jnp.floor(ybounds[lax.axis_index(AXY) + 1] / delta)
+              .astype(jnp.int32) + 2 - oy)
+    scale = cfg.particle_mass * (n_side / box) ** 3
+    patch, lost = paint_patch(
+        jnp.where(valid[:, None], pos, 0.0), valid.astype(dtype) * scale,
+        box, n_side, ox, oy, px, py)
+    brick, fold_ovf = fold_patch(patch, ox, oy, n_side, hx_pm, hy_pm,
+                                 AXX, AXY)
+    phi_brick = pencil_poisson_2d(brick, gf_local, AXX, AXY)
+    phi_patch, exp_bad = expand_phi(phi_brick, ox - 2, oy - 2, px + 4,
+                                    py + 4, need_x + 4, need_y + 4,
+                                    n_side, hx_pm, hy_pm, AXX, AXY)
+    grads = gradient_patch(phi_patch, box, n_side)
+    acc_pm = read_patch_vector(grads, pos, box, n_side, ox, oy, px, py)
+    acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
+    # a patch covering the whole ring (px == n, mod-n wrap) always fits;
+    # the linear extent check only applies to genuinely partial patches
+    pm_ovf = lost | fold_ovf | exp_bad
+    if px < n_side:
+        pm_ovf |= need_x > px
+    if py < n_side:
+        pm_ovf |= need_y > py
+    return acc_pm, pm_ovf
+
+
 def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
                  p2p_backend: str, hops_x: int, hops_y: int, ghost_cap: int):
     """Per-shard short-range + PM forces (runs inside shard_map)."""
@@ -276,27 +325,7 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
     unserved_near = jnp.any(near_mask & ((hx > hops_x) | (hy > hops_y)))
     halo_bad = halo_bad | unserved_near
 
-    # ---- long range: brick paint -> 2-D pencil FFT -> gathered readout --
-    mesh_full = cic_paint(jnp.where(valid[:, None], pos, 0.0), box, n_side,
-                          weights=valid.astype(dtype))
-    mesh_full = mesh_full * (cfg.particle_mass * (n_side / box) ** 3)
-    # reduce the full local paint into brick ownership (x then y)
-    slab = lax.psum_scatter(
-        mesh_full.reshape(dx, nx_loc, n_side, n_side), AXX,
-        scatter_dimension=0, tiled=False)
-    brick = lax.psum_scatter(
-        slab.reshape(nx_loc, dy, ny_loc, n_side), AXY,
-        scatter_dimension=1, tiled=False)
-    phi_brick = pencil_poisson_2d(brick, gf_local, AXX, AXY)
-    # gather on a NEW leading axis + explicit rearrange: a tiled axis-1
-    # all_gather propagates a non-major layout into the irfft producing
-    # phi_brick, which XLA:CPU's fft thunk RET_CHECKs on
-    phi = lax.all_gather(phi_brick, AXY, axis=0, tiled=False)
-    phi = jnp.moveaxis(phi, 0, 1).reshape(nx_loc, n_side, n_side)
-    phi = lax.all_gather(phi, AXX, axis=0, tiled=True)     # (n, n, n)
-    grad = gradient_4th(phi, box)
-    acc_pm = cic_read_vector(grad, pos, box, n_side)
-    acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
+    acc_pm, pm_ovf = _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg)
 
     # ---- diagnostics (replicated scalars) -------------------------------
     my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
@@ -305,7 +334,8 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
         "n_p2p": lax.psum(diag["n_p2p"], AXES),
         "n_m2l": lax.psum(diag["n_m2l"], AXES),
         "overflow": lax.pmax(
-            (diag["overflow"] | g_ovf | halo_bad).astype(jnp.int32), AXES),
+            (diag["overflow"] | g_ovf | halo_bad | pm_ovf).astype(jnp.int32),
+            AXES),
         "cost": cost,
         "n_global": n_global,
     }
@@ -433,6 +463,139 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     return step, initial_forces
 
 
+def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
+                           p2p_backend: str = "jnp", max_level: int = 6):
+    """Jitted pieces of the *sharded* per-particle block-KDK macro step
+    (the single-chip sim._build_block_fns lifted onto the device mesh;
+    inc/adaptive.h:12-20 surface).
+
+    Per-shard levels gate the near-field kernel rows (fmm_forces'
+    active mask); migration runs once per macro step with the levels
+    column riding the all_to_all, so a particle keeps its frozen level
+    across bricks; PM runs on the macro cadence.
+    Returns (open_fn, sub_fn, sub_pm_fn)."""
+    mesh = as_grid_mesh(mesh, cfg)
+    dx, dy = mesh.devices.shape
+    dtype = jnp.dtype(cfg.dtype)
+    grav = cfg.grav_const
+    box = cfg.boxsize
+    if not cfg.longshort or not cfg.periodic:
+        raise NotImplementedError(
+            "sharded block timesteps: TreePM (longshort+periodic) only")
+    gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
+                                     dtype, dy)
+    gf_spec = P(None, AXX, AXY)
+
+    def hops(n_axis):
+        if n_axis == 1:
+            return 0
+        w = box / n_axis
+        return min(n_axis - 1,
+                   max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+    hops_x, hops_y = hops(dx), hops(dy)
+    shard, rep = P(AXES), P()
+
+    def open_body(pos, vel, acc, acc_pm, valid, levels, xb, yb, tau, eta):
+        """Macro open: migrate (levels ride along), rebalance-ready cost is
+        the caller's job; assign levels from the opening forces."""
+        cap = pos.shape[0]
+        (pos, vel, acc, acc_pm, lvl_col), valid, mig_ovf = migrate_2d(
+            (pos, vel, acc, acc_pm, levels[:, None].astype(jnp.int32)),
+            valid, xb, yb, send_cap=int(cap * cfg.send_cap_factor),
+            ax=AXX, ay=AXY)
+        levels = lvl_col[:, 0]
+        amag = jnp.sqrt(jnp.sum((acc + acc_pm) ** 2, axis=-1))
+        dt_req = eta * jnp.sqrt(
+            cfg.soften_scale / (jnp.maximum(amag, 1e-30) * grav))
+        lv = jnp.ceil(jnp.log2(jnp.maximum(tau / dt_req, 1.0)))
+        levels = jnp.clip(lv, 0, max_level).astype(jnp.int32)
+        levels = jnp.where(valid, levels, 0)
+        level_max = lax.pmax(jnp.max(levels), AXES)
+        return (pos, vel, acc, acc_pm, valid, levels, level_max,
+                lax.pmax(mig_ovf.astype(jnp.int32), AXES))
+
+    open_mapped = shard_map(
+        open_body, mesh=mesh,
+        in_specs=(shard,) * 6 + (rep, rep, rep, rep),
+        out_specs=(shard,) * 6 + (rep, rep), check_rep=False)
+
+    def sub_body(pos, vel, acc, acc_pm, valid, levels, xb, yb, gf_local,
+                 dkh_open, dd, dkh_close, closing, with_pm: bool):
+        """One fine substep: gated open kick -> drift -> gated near-field
+        force refresh (+ PM on the macro close) -> gated close kick."""
+        cap = pos.shape[0]
+        ghost_cap = int(cap * cfg.ghost_cap_factor)
+        vel = vel + (acc + acc_pm) * (dkh_open[levels] * grav)[:, None]
+        drifted = jnp.mod(pos + vel * dd, box)
+        pos = jnp.where(valid[:, None], drifted, pos)
+
+        active = closing[levels] & valid
+        gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
+            pos, valid, xb, yb, cfg.cutoff_radius, box, ghost_cap,
+            hops_x, hops_y, AXX, AXY)
+        pos_all = jnp.concatenate([pos, gpos])
+        val_all = jnp.concatenate([valid, gval])
+        act_all = jnp.concatenate([active,
+                                   jnp.zeros(gval.shape, bool)])
+        acc_new, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
+                                   valid=val_all, active=act_all)
+        acc = jnp.where(active[:, None], acc_new[:cap], acc)
+        if with_pm:
+            acc_pm, pm_ovf = _pm_shard(pos, valid, xb, yb, gf_local, cfg)
+        else:
+            pm_ovf = jnp.asarray(False)
+        vel = vel + (acc + acc_pm) * (dkh_close[levels] * grav)[:, None]
+
+        my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
+        diag_out = {
+            "n_p2p": lax.psum(diag["n_p2p"], AXES),
+            "n_m2l": lax.psum(diag["n_m2l"], AXES),
+            "overflow": lax.pmax(
+                (diag["overflow"] | g_ovf | halo_bad
+                 | pm_ovf).astype(jnp.int32), AXES),
+            "cost": lax.all_gather(my_cost, AXES),
+            "n_global": lax.psum(jnp.sum(valid), AXES),
+        }
+        return pos, vel, acc, acc_pm, diag_out
+
+    diag_spec = {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
+                 "n_global": rep}
+
+    def _mapped(with_pm):
+        return shard_map(
+            partial(sub_body, with_pm=with_pm), mesh=mesh,
+            in_specs=(shard,) * 6 + (rep, rep, gf_spec, rep, rep, rep, rep),
+            out_specs=(shard,) * 4 + (diag_spec,), check_rep=False)
+
+    sub_plain = _mapped(False)
+    sub_pm = _mapped(True)
+
+    @jax.jit
+    def open_fn(state: ShardedState, levels, tau, eta):
+        pos, vel, acc, acc_pm, valid, levels, level_max, ovf = open_mapped(
+            state.pos, state.vel, state.acc, state.acc_pm, state.valid,
+            levels, state.xbounds, state.ybounds,
+            jnp.asarray(tau, dtype), jnp.asarray(eta, dtype))
+        return (dataclasses.replace(state, pos=pos, vel=vel, acc=acc,
+                                    acc_pm=acc_pm, valid=valid),
+                levels, level_max, ovf)
+
+    def _make_sub(mapped):
+        @jax.jit
+        def sub_fn(state: ShardedState, levels, dkh_open, dd, dkh_close,
+                   closing):
+            pos, vel, acc, acc_pm, diag = mapped(
+                state.pos, state.vel, state.acc, state.acc_pm, state.valid,
+                levels, state.xbounds, state.ybounds, gf_full,
+                jnp.asarray(dkh_open, dtype), jnp.asarray(dd, dtype),
+                jnp.asarray(dkh_close, dtype), jnp.asarray(closing))
+            return dataclasses.replace(state, pos=pos, vel=vel, acc=acc,
+                                       acc_pm=acc_pm), diag
+        return sub_fn
+
+    return open_fn, _make_sub(sub_plain), _make_sub(sub_pm)
+
+
 @dataclasses.dataclass
 class ShardedSimulation:
     """Multi-chip driver: owns the mesh, sharded state, and the step fn."""
@@ -456,6 +619,49 @@ class ShardedSimulation:
                                    a if a is not None
                                    else cfg.initial_scale_factor)
         return cls(cfg=cfg, mesh=mesh, state=state, p2p_backend=p2p_backend)
+
+    @classmethod
+    def from_config(cls, cfg: SimConfig, mesh: Mesh,
+                    p2p_backend: str = "jnp"):
+        """Reference multi-rank entry path: every shard reads only its own
+        particle slice of the IC file (read_Particle_Gadget2
+        snapshot.c:211-293, even split initial.c:359-369) via the native
+        sliced reader, then spatial binning plays domain_decomposition.
+
+        SnapFormat -2 generates uniform ICs instead (initial.c:567-627)."""
+        mesh = as_grid_mesh(mesh, cfg)
+        d = int(mesh.devices.size)
+        if cfg.snap_format == -2:
+            from photons_tpu.ics import ic_uniform
+            pos, vel = ic_uniform(cfg)
+            a0 = cfg.initial_scale_factor
+        else:
+            from photons_tpu.io.gadget import read_gadget, read_gadget_header
+            head = read_gadget_header(cfg.input_path)
+            cfg = cfg.replace(
+                boxsize=head.boxsize, omega_m=head.omega_m,
+                omega_x=head.omega_x, hubble=head.hubble,
+                initial_redshift=head.redshift,
+                n_part_total=head.n_total, mass_part=head.mass[1])
+            a0 = 1.0 / (1.0 + head.redshift)
+            n = head.n_total
+            try:
+                from photons_tpu.native import native_read_gadget_slice
+                # per-shard sliced reads (each rank touches only its range;
+                # native/gadget_io.cpp:49-74) -- raw Gadget velocities, so
+                # apply the a^1.5 internal unit here (snapshot.c:261)
+                parts = []
+                for s in range(d):
+                    start = s * n // d
+                    cnt = (s + 1) * n // d - start
+                    parts.append(native_read_gadget_slice(
+                        cfg.input_path, n, start, cnt))
+                pos = np.concatenate([p for p, _ in parts])
+                vel = np.concatenate([v for _, v in parts]) * a0**1.5
+            except (RuntimeError, OSError):    # native lib unavailable
+                _, pos, vel = read_gadget(cfg.input_path, cfg.snap_number)
+        return cls.from_arrays(cfg, mesh, pos, vel, a=a0,
+                               p2p_backend=p2p_backend)
 
     def run(self, n_steps: int, a_final: float,
             snapshot_times=None, log: bool = False,
@@ -503,6 +709,67 @@ class ShardedSimulation:
                 self.write_checkpoint(checkpoint_path)
         return self.state
 
+    def run_block(self, n_steps: int, a_final: float, eta: float = 0.025,
+                  max_level: int = 6):
+        """Per-particle block-KDK macro loop on the device mesh (the
+        sharded counterpart of Simulation.run(adaptive='block');
+        kdk_level/active_particle surface, inc/adaptive.h:12-20).
+
+        Each macro step: migrate (levels ride the all_to_all) + assign
+        per-particle levels from the opening forces, then 2^level_max fine
+        substeps where only shards' closing kernel rows compute forces;
+        PM refreshes on the macro cadence."""
+        from photons_tpu import cosmology
+
+        open_fn, sub_plain, sub_pm = make_sharded_block_fns(
+            self.cfg, self.mesh, self.p2p_backend, max_level)
+        om, ox = self.cfg.omega_m, self.cfg.omega_x
+        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+        dtype = jnp.dtype(self.cfg.dtype)
+
+        a0 = float(self.state.a)
+        loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
+        self.state, diag = self._init_forces(self.state)
+        self._check(diag)
+        d = int(self.mesh.devices.size)
+        cap = self.state.valid.shape[0]
+        levels = jax.device_put(
+            jnp.zeros((cap,), jnp.int32),
+            jax.sharding.NamedSharding(self.mesh, P(AXES)))
+        self.max_adaptive_level = 0
+        for i in range(n_steps):
+            l0, l1 = float(loga[i]), float(loga[i + 1])
+            tau = kf(l0, l1)
+            self.state, levels, level_max, mig_ovf = open_fn(
+                self.state, levels, tau, eta)
+            if int(np.asarray(mig_ovf)):
+                raise RuntimeError("block-step migration overflow -- "
+                                   "enlarge send_cap_factor")
+            level_max = int(np.asarray(level_max))
+            self.max_adaptive_level = max(self.max_adaptive_level, level_max)
+            self.last_levels = np.asarray(levels)
+            nf = 1 << level_max
+            sub = np.linspace(l0, l1, nf + 1)
+            blocks = [1 << max(level_max - l, 0)
+                      for l in range(max_level + 1)]
+            for j in range(nf):
+                dkh_open = np.asarray(
+                    [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
+                     for b in blocks], dtype)
+                dd = float(cosmology.drift_factor(sub[j], sub[j + 1],
+                                                  om, ox))
+                closing = np.array([(j + 1) % b == 0 for b in blocks])
+                dkh_close = np.asarray(
+                    [0.5 * kf(sub[j + 1 - b], sub[j + 1])
+                     if (j + 1) % b == 0 else 0.0 for b in blocks], dtype)
+                fn = sub_pm if j == nf - 1 else sub_plain
+                self.state, diag = fn(self.state, levels, dkh_open, dd,
+                                      dkh_close, closing)
+            self.state = dataclasses.replace(
+                self.state, a=jnp.asarray(float(np.exp(l1)), dtype))
+            self._check(diag)
+        return self.state
+
     def _check(self, diag):
         self.last_diag = {k: np.asarray(v) for k, v in diag.items()}
         if int(self.last_diag["overflow"]):
@@ -520,6 +787,60 @@ class ShardedSimulation:
             raise RuntimeError(
                 f"domain-tree particle count {int(n_global)} != {expected}: "
                 "particles lost or duplicated across shards")
+
+    # -- observables ---------------------------------------------------------
+    def power_spectrum(self, n_bins: int = 0, deconvolve: bool = True):
+        """Sharded matter P(k): brick paint -> pencil FFT -> binned |dk|^2
+        with one psum -- no host gather of particles (diagnostics.
+        power_spectrum parity, computed where the particles live)."""
+        from photons_tpu.parallel.observables import pencil_power_spectrum
+        from photons_tpu.pm.brick import (fold_patch, paint_patch,
+                                          patch_geometry)
+
+        cfg = self.cfg
+        mesh = self.mesh
+        dx, dy = mesh.devices.shape
+        n = cfg.n_side
+        if n_bins <= 0:
+            n_bins = n // 2
+        px = patch_geometry(n, dx, cfg.pm_patch_factor)
+        py = patch_geometry(n, dy, cfg.pm_patch_factor)
+        hx = min(dx // 2, -(-(px + 4) // (n // dx))) if dx > 1 else 0
+        hy = min(dy // 2, -(-(py + 4) // (n // dy))) if dy > 1 else 0
+        delta_cell = cfg.boxsize / n
+        dtype = jnp.dtype(cfg.dtype)
+
+        def fn(pos, valid, xb, yb):
+            ox = jnp.floor(xb[lax.axis_index(AXX)] / delta_cell).astype(
+                jnp.int32) - 1
+            oy = jnp.floor(yb[lax.axis_index(AXY)] / delta_cell).astype(
+                jnp.int32) - 1
+            patch, lost = paint_patch(
+                jnp.where(valid[:, None], pos, 0.0), valid.astype(dtype),
+                cfg.boxsize, n, ox, oy, px, py)
+            brick, fovf = fold_patch(patch, ox, oy, n, hx, hy, AXX, AXY)
+            mean = lax.psum(jnp.sum(valid), (AXX, AXY)) / jnp.asarray(
+                float(n) ** 3, dtype)
+            delta = brick / mean - 1.0
+            ks, ps, nm = pencil_power_spectrum(delta, n, n_bins, AXX, AXY,
+                                               deconvolve=deconvolve)
+            return ks, ps, nm, lost | fovf
+
+        smap = shard_map(
+            fn, mesh=mesh, in_specs=(P(AXES), P(AXES), P(), P()),
+            out_specs=(P(), P(), P(), P()), check_rep=False)
+        ks, ps, nm, ovf = jax.jit(smap)(
+            self.state.pos, self.state.valid, self.state.xbounds,
+            self.state.ybounds)
+        if bool(np.asarray(ovf)):
+            raise RuntimeError("P(k) brick paint capacity overflow -- raise "
+                               "pm_patch_factor")
+        ks, ps, nm = (np.asarray(x, np.float64) for x in (ks, ps, nm))
+        good = nm > 0
+        kf = 2.0 * np.pi / cfg.boxsize
+        norm = cfg.boxsize**3 / float(n) ** 6
+        return (ks[good] / nm[good] * kf, ps[good] / nm[good] * norm,
+                nm[good])
 
     # -- IO ------------------------------------------------------------------
     def write_snapshot(self, a_tag: Optional[float] = None):

@@ -46,6 +46,8 @@ def main():
                          "escape hatch remains for debugging only)")
     ap.add_argument("--open-cap", type=int, default=128)
     ap.add_argument("--p2p-cap", type=int, default=96)
+    ap.add_argument("--theta", type=float, default=None,
+                    help="MAC opening angle override (flagship sweep winner)")
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -69,6 +71,8 @@ def main():
         # subgraphs in one program exceeds a v5e's 16 GB at 256^3
         fused_step=n < 256,
         code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
+    if args.theta is not None:
+        cfg = cfg.replace(open_angle=args.theta)
     print(f"IC: Zel'dovich EH98 LCDM, N={n}^3, L={cfg.boxsize:g} kpc/h",
           flush=True)
     pos, vel = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")

@@ -39,7 +39,19 @@ def main():
                          "block levels (adaptive.h surface)")
     ap.add_argument("--eta", type=float, default=0.025,
                     help="timestep criterion dt <= eta*sqrt(eps/|a|)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run multi-chip on an N-device mesh (the "
+                         "reference's mpirun -np N); 0 = single device. "
+                         "With --cpu, virtual host devices stand in for "
+                         "the ICI mesh")
     args = ap.parse_args()
+
+    if args.devices > 1 and args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.devices}")
 
     import jax
     if args.cpu:
@@ -59,6 +71,41 @@ def main():
         overrides["n_part_total"] = args.n_part
     if args.dtype:
         overrides["dtype"] = args.dtype
+
+    if args.devices > 1:
+        # multi-chip driver: parameter file + sliced Gadget reads on a
+        # device mesh (the reference's mpirun -np N entry, photoNs.c:358)
+        import numpy as np
+        from jax.sharding import Mesh
+        from photons_tpu.parallel.step import ShardedSimulation
+
+        if not args.paramfile:
+            ap.error("--devices requires a parameter file")
+        cfg = load_parameter_file(args.paramfile, **overrides)
+        devs = np.array(jax.devices()[:args.devices])
+        backend = ("redundant" if jax.default_backend() == "tpu" else "jnp")
+        sim = ShardedSimulation.from_config(cfg, Mesh(devs, ("x",)),
+                                            p2p_backend=backend)
+        cfg = sim.cfg
+        n_steps = args.steps if args.steps is not None else cfg.n_steps
+        a_final = args.a_final if args.a_final is not None \
+            else cfg.final_scale_factor
+        if args.verbosity:
+            print(f"photoNs-TPU | N={cfg.n_part_total} L={cfg.boxsize:g} "
+                  f"nside={cfg.n_side} mesh={sim.mesh.devices.shape} "
+                  f"a={float(sim.state.a):.4f} -> {a_final:.4f} "
+                  f"({n_steps} steps) on {jax.devices()[0].platform}")
+        t0 = time.perf_counter()
+        sim.run(n_steps=n_steps, a_final=a_final, log=True,
+                snapshot_times=cfg.snap_times if cfg.snap_times else None)
+        dt = time.perf_counter() - t0
+        path = sim.write_snapshot()
+        if args.verbosity:
+            print(f"done in {dt:.1f}s ({dt / max(n_steps, 1):.3f} s/step); "
+                  f"snapshots -> {path}.0..{sim.mesh.devices.size - 1}")
+            print("interactions:", {k: v.tolist()
+                                    for k, v in sim.last_diag.items()})
+        return
 
     if args.paramfile:
         cfg = load_parameter_file(args.paramfile, **overrides)

@@ -374,3 +374,144 @@ def test_sharded_longshort_open_box_raises(mesh):
         ShardedSimulation.from_arrays(
             cfg, mesh, np.random.default_rng(0).uniform(0, L, (512, 3)),
             np.zeros((512, 3)))
+
+
+def test_sharded_power_spectrum_matches_host(mesh42):
+    """Sharded P(k) (brick paint -> pencil FFT -> binned psum) against the
+    host-gather diagnostics.power_spectrum, bin for bin (the reference's
+    vestigial powerspectrum(), inc/partmesh.h:13-16, done at scale)."""
+    from photons_tpu.diagnostics import power_spectrum
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096,
+                    dtype="float64", leaf_size=16,
+                    shard_capacity_factor=8.0)
+    rng = np.random.default_rng(9)
+    # mildly clustered: uniform + a gaussian blob (non-trivial spectrum)
+    pos = np.concatenate([
+        rng.uniform(0, L, (2048, 3)),
+        np.mod(rng.normal(loc=0.3 * L, scale=0.05 * L, size=(2048, 3)), L)])
+    sim = ShardedSimulation.from_arrays(cfg, mesh42, pos,
+                                        np.zeros_like(pos))
+    k_s, pk_s, nm_s = sim.power_spectrum()
+    k_h, pk_h, nm_h = power_spectrum(pos, L, 32)
+    np.testing.assert_allclose(nm_s, nm_h, rtol=0, atol=0)
+    np.testing.assert_allclose(k_s, k_h, rtol=1e-10)
+    np.testing.assert_allclose(pk_s, pk_h, rtol=1e-8)
+
+
+def test_sharded_gadget_entry(mesh, tmp_path):
+    """ShardedSimulation.from_config: parameter file + per-shard sliced
+    Gadget reads (snapshot.c:211-293, initial.c:359-369) land the same
+    state as the host-reader path."""
+    from photons_tpu.io.gadget import GadgetHeader, write_gadget
+    from photons_tpu.config import load_parameter_file
+
+    n, z = 512, 49.0
+    rng = np.random.default_rng(21)
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    vel_disk = rng.normal(size=(n, 3)).astype(np.float32)
+    head = GadgetHeader(npart=(0, n, 0, 0, 0, 0),
+                        npart_total=(0, n, 0, 0, 0, 0),
+                        mass=(0.0, 2.5, 0.0, 0.0, 0.0, 0.0),
+                        time=1.0 / (1.0 + z), redshift=z, boxsize=L,
+                        omega_m=0.25, omega_x=0.75, hubble=0.7)
+    ic = str(tmp_path / "ic.gdt2")
+    # write_gadget divides by a^1.5 on disk; hand it internal-unit vels
+    a0 = 1.0 / (1.0 + z)
+    write_gadget(ic, head, pos, vel_disk * a0**1.5)
+
+    param = tmp_path / "t.run"
+    param.write_text(
+        f"InputPath {ic}\nOutputPath {tmp_path}\nCodeProj t\n"
+        f"NumPart {n}\nBOXSIZE {L}\nOMEGAM 0.25\nOMEGAX 0.75\n"
+        "HUBBLE 0.7\nINITIALTIME 49.0\nNumMeshSide 32\nSnapFormat 2\n")
+    cfg = load_parameter_file(str(param))
+    sim = ShardedSimulation.from_config(cfg, mesh)
+    assert sim.cfg.n_part_total == n
+    assert sim.cfg.boxsize == pytest.approx(L)
+    p8, v8, a8 = gather_state(sim.state)
+    assert a8 == pytest.approx(a0)
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    np.testing.assert_allclose(p8[key(p8)], pos[key(pos)], atol=1e-5)
+    np.testing.assert_allclose(v8[key(p8)], (vel_disk * a0**1.5)[key(pos)],
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_soak_clustered(mesh):
+    """Multi-chip soak (VERDICT r1 item 6): clustered Zel'dovich ICs,
+    6 steps with rebalancing on -- particles migrate across bricks, the
+    domain-tree n_global invariant holds every sync, no capacity overflow,
+    and the trajectory matches the single-device engine."""
+    from photons_tpu.ics import ic_zeldovich
+    from photons_tpu.models.lcdm import lcdm_config
+    from photons_tpu.sim import Simulation
+
+    n_side = 16
+    cfg = lcdm_config(n_part=n_side**3, n_side=n_side, dtype="float64",
+                      boxsize=L).replace(leaf_size=16)
+    pos, vel = ic_zeldovich(cfg, seed=31, spectral_index="lcdm")
+    a1 = cfg.initial_scale_factor * 2.5       # big steps: forces migration
+
+    sim1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm")
+    sim1.run(n_steps=6, a_final=a1)
+
+    sim8 = ShardedSimulation.from_arrays(cfg, mesh, pos, vel)
+    counts0 = np.asarray(sim8.state.valid).reshape(8, -1).sum(axis=1)
+    xb0 = np.asarray(sim8.state.xbounds).copy()
+    sim8.run(n_steps=6, a_final=a1)
+    assert not int(sim8.last_diag["overflow"])
+    assert int(sim8.last_diag["n_global"]) == n_side**3
+
+    # rebalancing moved the grid lines and migration moved particles
+    counts1 = np.asarray(sim8.state.valid).reshape(8, -1).sum(axis=1)
+    assert (counts1 != counts0).any()
+    assert not np.allclose(np.asarray(sim8.state.xbounds), xb0)
+
+    p1 = np.asarray(sim1.state.pos)
+    p8, _, _ = gather_state(sim8.state)
+    assert len(p8) == n_side**3
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_block_timesteps(mesh):
+    """Sharded per-particle block KDK (VERDICT r1 item 8): a generous eta
+    reduces exactly to fixed stepping; a tight pair refines only its own
+    shard's rows while the smooth background stays at level 0."""
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
+                    leaf_size=16, initial_redshift=49.0,
+                    shard_capacity_factor=4.0)
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, L, (512, 3))
+    vel = rng.normal(size=(512, 3)) * 1e-4
+    a1 = cfg.initial_scale_factor * 1.05
+
+    sim_f = ShardedSimulation.from_arrays(cfg, mesh, pos, vel)
+    sim_f.run(n_steps=2, a_final=a1)
+    sim_b = ShardedSimulation.from_arrays(cfg, mesh, pos, vel)
+    sim_b.run_block(n_steps=2, a_final=a1, eta=1e6)
+    assert sim_b.max_adaptive_level == 0
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    pf, _, _ = gather_state(sim_f.state)
+    pb, _, _ = gather_state(sim_b.state)
+    np.testing.assert_allclose(pf[key(pf)], pb[key(pb)], atol=1e-5)
+
+    # drop a tight pair into one brick: only its rows refine
+    pos2 = pos.copy()
+    pos2[0] = [0.30 * L, 0.5 * L, 0.5 * L]
+    pos2[1] = pos2[0] + np.array([cfg.soften_scale * 0.4, 0, 0])
+    sim_t = ShardedSimulation.from_arrays(cfg, mesh, pos2, vel)
+    sim_t.run_block(n_steps=1, a_final=cfg.initial_scale_factor * 1.02,
+                    eta=0.05, max_level=4)
+    assert sim_t.max_adaptive_level > 0
+    assert int(sim_t.last_diag["n_global"]) == 512
+    lv = sim_t.last_levels
+    v_sh = np.asarray(sim_t.state.valid)
+    # refinement is selective: the tight pair's rows carry the deepest
+    # level while the bulk of the smooth background stays at level 0
+    hot = v_sh & (lv > 0)
+    assert hot.sum() >= 2
+    assert (lv[v_sh] == 0).sum() > 0.9 * v_sh.sum()
+    assert np.isfinite(np.asarray(sim_t.state.pos)).all()
