@@ -49,6 +49,23 @@ class SimConfig:
     # kick/drift | FMM | PM into separate device programs so peak HBM is
     # the max of the stages, not their co-scheduled sum (needed at 256^3
     # on a single 16 GB v5e; costs the measured ~10-20% PM/FMM overlap)
+    sorted_state: bool = False          # keep particle state in the tree's
+    # space-filling-curve order across steps: the force engine then returns
+    # leaf-order results directly and the step gathers vel/ids by perm,
+    # eliminating the (N, 3) unsort scatter (~1.4 s at 256^3 on a v5e --
+    # a TPU row scatter costs ~10x a gather).  Particle identity moves to
+    # an explicit ids column (fmm engines, single device)
+    list_reuse: int = 1                 # rebuild the tree + interaction
+    # lists every k-th step and reuse them in between (Verlet-list
+    # amortization of the ~2.2 s prep+task cost at 256^3).  Reuse steps
+    # keep the frozen sort and recompute only AABBs/multipoles from the
+    # moved positions; validity is guaranteed by verlet_skin + an on-device
+    # drift monitor that trips the elastic recovery.  Requires sorted_state
+    verlet_skin: float = 0.1            # traversal-acceptance margin as a
+    # fraction of the cutoff: lists are built accepting pairs within
+    # cutoff*(1+verlet_skin), so they stay complete while every particle
+    # has moved < verlet_skin*cutoff/2 since the rebuild (classic
+    # Verlet-list skin); the drift monitor enforces exactly this bound
 
     # --- time integration -------------------------------------------------
     n_steps: int = 100                  # reference hardcodes 100 (photoNs.c:384)

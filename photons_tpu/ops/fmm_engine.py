@@ -30,7 +30,8 @@ from photons_tpu.config import SimConfig
 from photons_tpu.ops import multipoles as mp
 from photons_tpu.ops.kernels import pair_accel
 from photons_tpu.ops.traversal import InteractionLists, dual_tree_traversal
-from photons_tpu.tree.build import Tree, build_tree
+from photons_tpu.tree.build import (Tree, _next_pow2, build_tree,
+                                    tree_from_sorted)
 
 
 from photons_tpu.ops.kernels import min_image as _min_image
@@ -126,7 +127,8 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
 
 
 def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
-              p2p_backend: str = "jnp", leaf_active=None, extra_leaf=None):
+              p2p_backend: str = "jnp", leaf_active=None, extra_leaf=None,
+              layout: str = "original"):
     """Force evaluation given precomputed interaction lists (the compute
     half of fmm_task, fmm.c:947-1024): M2L + L2L + L2P + P2P, scattered
     back to the pre-sort particle order.
@@ -170,12 +172,22 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
         raise ValueError(f"unknown p2p backend {p2p_backend!r}")
 
     # scatter back to the original particle order (perm: sorted -> original);
-    # mask so invalid (padding) slots always carry zero acceleration
+    # mask so invalid (padding) slots always carry zero acceleration.
+    # layout='sorted' skips the scatter entirely: the caller keeps its
+    # state in tree order (cfg.sorted_state), so the leaf-order results
+    # ARE the answer -- a TPU row scatter at 16.7M rows costs ~1.4 s.
     diag = {
         "n_p2p": lists.p2p_count,
         "n_m2l": sum(lists.m2l_counts),
         "overflow": lists.overflow | nbr_overflow,
     }
+    if layout == "sorted":
+        flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
+        if extra_leaf is not None:
+            eflat = jnp.where(tree.mask[..., None], extra_leaf,
+                              0.0).reshape(-1, extra_leaf.shape[-1])
+            return (flat, eflat), diag
+        return flat, diag
     if extra_leaf is not None:
         acc_all, extra_all = scatter_leaf_values(tree, acc_leaf, extra_leaf)
         return (acc_all, extra_all), diag
@@ -250,7 +262,8 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
 
 
 def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
-               active=None, pm_gf=None):
+               active=None, pm_gf=None, layout: str = "original",
+               return_lists: bool = False):
     """Full short-range FMM acceleration in the original particle order.
 
     ``valid``: optional liveness mask (capacity-padded sharded inputs);
@@ -261,6 +274,13 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
     ``pm_gf``: optional Green's function -- compute the PM long-range
     acceleration too, on the SAME tree (Pallas CIC kernels; one shared
     unsort scatter).  Changes the return to ((acc, acc_pm), diag).
+    ``layout='sorted'``: skip the unsort scatter and return everything in
+    the tree's space-filling-curve order (cfg.sorted_state stepping) --
+    the return becomes ((acc, [acc_pm,] pos_sorted, perm), diag) with all
+    arrays length N and ``perm`` mapping sorted slot -> input slot.
+    Requires ``valid=None`` (padding must occupy the sorted tail).
+    ``return_lists`` (sorted layout only): append the InteractionLists to
+    the returned tuple, for list-reuse stepping (fmm_forces_reuse).
 
     Returns (acc (N,3), diag dict of scalars).
     """
@@ -268,6 +288,11 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
     cutoff = cfg.cutoff_radius if cfg.longshort else None
     box = cfg.boxsize if cfg.periodic else None
     lo, hi = (0.0, cfg.boxsize)
+    if cutoff is not None and cfg.list_reuse > 1:
+        # Verlet skin: accept pairs within cutoff*(1+skin) so the lists
+        # stay complete while every particle has drifted < skin*cutoff/2
+        # since this rebuild (enforced by fmm_forces_reuse's monitor)
+        cutoff = cutoff * (1.0 + cfg.verlet_skin)
 
     tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
                       lo=lo, hi=hi, valid=valid)
@@ -286,6 +311,26 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
             (active_pad[tree.perm].reshape(tree.n_leaf, tree.leaf_size)
              & tree.mask), axis=1)
 
+    if layout == "sorted":
+        if valid is not None:
+            raise ValueError("layout='sorted' requires valid=None "
+                             "(padding must occupy the sorted tail)")
+        pos_sorted = tree.pos.reshape(-1, 3)[:n]
+        perm = tree.perm[:n]
+        tail = (lists,) if return_lists else ()
+        if pm_gf is not None:
+            acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
+            (acc_s, acc_pm_s), diag = fmm_apply(
+                tree, lists, cfg, p2p_backend=p2p_backend,
+                leaf_active=leaf_active, extra_leaf=acc_pm_leaf,
+                layout="sorted")
+            diag = dict(diag)
+            diag["cic_overflow"] = ~fits
+            return (acc_s[:n], acc_pm_s[:n], pos_sorted, perm) + tail, diag
+        acc_s, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
+                                leaf_active=leaf_active, layout="sorted")
+        return (acc_s[:n], pos_sorted, perm) + tail, diag
+
     if pm_gf is not None:
         acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
         (acc_all, acc_pm_all), diag = fmm_apply(
@@ -300,6 +345,65 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
     acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
                               leaf_active=leaf_active)
     return acc_all[:n], diag
+
+
+def fmm_forces_reuse(pos_sorted, lists: InteractionLists, pos_ref,
+                     cfg: SimConfig, p2p_backend: str = "jnp", pm_gf=None):
+    """Force evaluation on CACHED interaction lists (Verlet list reuse,
+    cfg.list_reuse > 1).
+
+    ``pos_sorted`` must still be in the space-filling-curve order of the
+    rebuild step that produced ``lists`` (cfg.sorted_state keeps it so --
+    reuse steps never re-sort), and ``pos_ref`` is the position array of
+    that rebuild step.  Only the AABB/center/width geometry and the
+    multipoles are refreshed from the moved positions
+    (:func:`tree_from_sorted`); the traversal tables are reused as-is.
+
+    Correctness: the rebuild accepted every pair within
+    cutoff*(1+verlet_skin), so the tables remain a superset of the true
+    in-cutoff pair set while every particle has drifted less than
+    skin/2 = verlet_skin*cutoff/2.  An on-device drift monitor reports
+    ``skin_overflow`` in the diag; the driver treats it like a capacity
+    overflow (roll back, rebuild, replay).  Listed pairs beyond the true
+    cutoff merely add their (erfc-damped, ~zero) contribution.
+
+    Returns ((acc, [acc_pm]) sorted order length N, diag).
+    """
+    n = pos_sorted.shape[0]
+    leaf = cfg.leaf_size
+    n_leaf = _next_pow2(-(-n // leaf))
+    n_pad = n_leaf * leaf - n
+    dtype = pos_sorted.dtype
+
+    drift = _min_image(pos_sorted - pos_ref,
+                       cfg.boxsize if cfg.periodic else None)
+    drift2 = jnp.max(jnp.sum(drift * drift, axis=-1))
+    skin = cfg.verlet_skin * cfg.cutoff_radius
+    skin_overflow = drift2 > (0.5 * skin) ** 2
+
+    if n_pad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.zeros((n_pad, 3), dtype)])
+    leaf_pos = pos_sorted.reshape(n_leaf, leaf, 3)
+    leaf_mask = (jnp.arange(n_leaf * leaf) < n).reshape(n_leaf, leaf)
+    tree = tree_from_sorted(leaf_pos, leaf_mask,
+                            jnp.arange(n_leaf * leaf, dtype=jnp.int32),
+                            cfg.particle_mass)
+
+    if pm_gf is not None:
+        acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
+        (acc_s, acc_pm_s), diag = fmm_apply(
+            tree, lists, cfg, p2p_backend=p2p_backend,
+            extra_leaf=acc_pm_leaf, layout="sorted")
+        diag = dict(diag)
+        diag["cic_overflow"] = ~fits
+        diag["skin_overflow"] = skin_overflow
+        return (acc_s[:n], acc_pm_s[:n]), diag
+    acc_s, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
+                            layout="sorted")
+    diag = dict(diag)
+    diag["skin_overflow"] = skin_overflow
+    return (acc_s[:n],), diag
 
 
 def make_fmm_force_fn(cfg: SimConfig, p2p_backend: str = "jnp"):

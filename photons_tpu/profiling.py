@@ -55,11 +55,27 @@ class PhaseProfiler:
         self._build_pm(cfg)
 
     def _build_pm(self, cfg):
+        self.f_pm_tree = None
         if cfg.longshort or cfg.pm_only:
             from photons_tpu.pm.solver import green_function, pm_accel
             gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
                                 deconvolve=not cfg.pm_only,
                                 dtype=jnp.dtype(cfg.dtype))
+            use_pallas_cic = (self.engine.startswith("fmm")
+                              and cfg.longshort
+                              and (cfg.cic_backend == "pallas"
+                                   or (cfg.cic_backend == "auto"
+                                       and jax.default_backend() == "tpu")))
+            if use_pallas_cic:
+                # production parity: the fmm engine rides PM on the FMM
+                # tree via the Pallas CIC kernels (pm_from_tree), NOT the
+                # XLA-scatter pm_accel -- profiling the latter overstated
+                # the pm phase ~2.5x at 256^3
+                from photons_tpu.ops.fmm_engine import pm_from_tree
+                self.f_pm_tree = _aot(jax.jit(
+                    lambda tree: pm_from_tree(tree, cfg, gf)[0]))
+                self.f_pm = None
+                return
             self.f_pm = _aot(jax.jit(lambda pos: pm_accel(
                 pos, gf, mass=cfg.particle_mass, boxsize=cfg.boxsize,
                 n_side=cfg.n_side)))
@@ -136,6 +152,7 @@ class PhaseProfiler:
             return out
 
         t_fmm0 = _t.perf_counter()
+        tree = None
         if self.engine.startswith("fmm"):
             tree = run("prep", self.f_tree, pos)
             lists = run("task", self.f_trav, tree)
@@ -147,4 +164,7 @@ class PhaseProfiler:
                 acc_p2p = run("p2p_self", self.f_p2p, tree, lists)
             run("p2p_update", self.f_update, tree, acc_leaf + acc_p2p)
             timers.add("fmm", _t.perf_counter() - t_fmm0)
-        run("pm", self.f_pm, pos)
+        if self.f_pm_tree is not None:
+            run("pm", self.f_pm_tree, tree)
+        else:
+            run("pm", self.f_pm, pos)

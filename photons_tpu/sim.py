@@ -38,8 +38,12 @@ from photons_tpu.utils.logging import RunLog
 from photons_tpu.utils.timers import PhaseTimers
 
 # (pos) -> (acc_short, acc_pm, diag); diag is a dict of scalar diagnostics
-# (interaction counts, traversal-capacity overflow flag)
+# (interaction counts, traversal-capacity overflow flag).  Sorted-state
+# force fns (fn.sorted == True) instead return
+# (pos_sorted, acc, acc_pm, perm, diag), all in tree order.
 ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array, dict]]
+
+_gather_rows = jax.jit(lambda x, perm: x[perm])
 
 
 class CapacityOverflowError(RuntimeError):
@@ -115,11 +119,66 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
             gf_t = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
                                   dtype=dtype)
 
+            if cfg.sorted_state:
+                def force_fn(pos):
+                    (acc, acc_pm, pos_s, perm), diag = fmm_forces(
+                        pos, cfg, p2p_backend=backend, pm_gf=gf_t,
+                        layout="sorted")
+                    return pos_s, acc, acc_pm, perm, diag
+                force_fn.sorted = True
+                force_fn.pm_fused = True
+                if cfg.list_reuse > 1:
+                    from photons_tpu.ops.fmm_engine import fmm_forces_reuse
+
+                    def rebuild_fn(pos):
+                        (acc, acc_pm, pos_s, perm, lists), diag = fmm_forces(
+                            pos, cfg, p2p_backend=backend, pm_gf=gf_t,
+                            layout="sorted", return_lists=True)
+                        return (pos_s, acc, acc_pm, perm, lists), diag
+
+                    def reuse_fn(pos_s, lists, pos_ref):
+                        (acc, acc_pm), diag = fmm_forces_reuse(
+                            pos_s, lists, pos_ref, cfg,
+                            p2p_backend=backend, pm_gf=gf_t)
+                        return acc, acc_pm, diag
+
+                    force_fn.rebuild = rebuild_fn
+                    force_fn.reuse = reuse_fn
+                    force_fn.reuse_k = cfg.list_reuse
+                return force_fn
+
             def force_fn(pos):
                 (acc, acc_pm), diag = fmm_forces(
                     pos, cfg, p2p_backend=backend, pm_gf=gf_t)
                 return acc, acc_pm, diag
             force_fn.pm_fused = True
+            return force_fn
+
+        if cfg.sorted_state:
+            def force_fn(pos):
+                (acc, pos_s, perm), diag = fmm_forces(
+                    pos, cfg, p2p_backend=backend, layout="sorted")
+                # PM evaluated at the sorted positions == the perm-gather
+                # of PM at the input positions (same particle set)
+                return pos_s, acc, pm_fn(pos_s), perm, diag
+            force_fn.sorted = True
+            if cfg.list_reuse > 1:
+                from photons_tpu.ops.fmm_engine import fmm_forces_reuse
+
+                def rebuild_fn(pos):
+                    (acc, pos_s, perm, lists), diag = fmm_forces(
+                        pos, cfg, p2p_backend=backend, layout="sorted",
+                        return_lists=True)
+                    return (pos_s, acc, pm_fn(pos_s), perm, lists), diag
+
+                def reuse_fn(pos_s, lists, pos_ref):
+                    (acc,), diag = fmm_forces_reuse(
+                        pos_s, lists, pos_ref, cfg, p2p_backend=backend)
+                    return acc, pm_fn(pos_s), diag
+
+                force_fn.rebuild = rebuild_fn
+                force_fn.reuse = reuse_fn
+                force_fn.reuse_k = cfg.list_reuse
             return force_fn
 
         fmm_fn = make_fmm_force_fn(cfg, p2p_backend=backend)
@@ -145,8 +204,31 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
     boxsize = cfg.boxsize
     periodic = cfg.periodic
 
-    if not cfg.fused_step:
+    if not cfg.fused_step or getattr(force_fn, "reuse_k", 1) > 1:
+        # list reuse needs the host-driven dispatch (the cached lists live
+        # between step invocations), so it always takes the split path
         return _make_step_fn_split(cfg, force_fn)
+
+    if getattr(force_fn, "sorted", False):
+        # sorted-state stepping: the force engine returns everything in the
+        # tree's space-filling-curve order plus the perm that maps sorted
+        # slot -> input slot; vel/ids follow by a gather (a TPU row gather
+        # is ~10x cheaper than the unsort scatter this replaces)
+        @jax.jit
+        def step(state: SimState, dk, dd, a_next):
+            dkh = 0.5 * dk * grav
+            vel = state.vel + (state.acc + state.acc_pm) * dkh
+            pos = state.pos + vel * dd
+            if periodic:
+                pos = wrap_periodic(pos, boxsize)
+            pos_s, acc, acc_pm, perm, diag = force_fn(pos)
+            vel = vel[perm] + (acc + acc_pm) * dkh
+            ids = None if state.ids is None else state.ids[perm]
+            return SimState(pos=pos_s, vel=vel, acc=acc, acc_pm=acc_pm,
+                            a=jnp.asarray(a_next, pos_s.dtype),
+                            ids=ids), diag
+
+        return step
 
     @jax.jit
     def step(state: SimState, dk, dd, a_next):
@@ -215,6 +297,55 @@ def _make_step_fn_split(cfg: SimConfig, force_fn: ForceFn):
     @jax.jit
     def close_kick(vel, acc, acc_pm, dk):
         return vel + (acc + acc_pm) * (0.5 * dk * grav)
+
+    if getattr(force_fn, "sorted", False):
+        # sorted-state stepping (one force program: the sorted layout only
+        # pays off when tree build, forces and PM share one executable and
+        # the unsort scatter is gone entirely); vel/ids follow the new
+        # sorted order by a perm gather fused into the closing kick
+        forces_aot = _aot_wrap(jax.jit(force_fn))
+        reuse_k = getattr(force_fn, "reuse_k", 1)
+        if reuse_k > 1:
+            rebuild_aot = _aot_wrap(jax.jit(force_fn.rebuild))
+            reuse_aot = _aot_wrap(jax.jit(force_fn.reuse))
+        # cache: interaction lists + reference positions of the last
+        # rebuild.  Lives in the closure, NOT SimState: the run loop is
+        # host-driven, and any rollback rebuilds the step fn (fresh cache)
+        cache = {"age": 0, "lists": None, "pos_ref": None}
+
+        @jax.jit
+        def gather_close_kick(vel, ids, perm, acc, acc_pm, dk):
+            vel = vel[perm] + (acc + acc_pm) * (0.5 * dk * grav)
+            return vel, (None if ids is None else ids[perm])
+
+        def step(state: SimState, dk, dd, a_next):
+            pos, vel = kick_drift(state.pos, state.vel, state.acc,
+                                  state.acc_pm, dk, dd)
+            if (cache["lists"] is not None
+                    and cache["age"] < reuse_k - 1):
+                # reuse step: frozen sort (pos is still in the rebuild's
+                # order), cached lists, refreshed geometry/multipoles
+                acc, acc_pm, diag = reuse_aot(pos, cache["lists"],
+                                              cache["pos_ref"])
+                cache["age"] += 1
+                vel = close_kick(vel, acc, acc_pm, dk)
+                ids = state.ids
+                pos_s = pos
+            elif reuse_k > 1:
+                (pos_s, acc, acc_pm, perm, lists), diag = rebuild_aot(pos)
+                cache.update(age=0, lists=lists, pos_ref=pos_s)
+                vel, ids = gather_close_kick(vel, state.ids, perm, acc,
+                                             acc_pm, dk)
+            else:
+                pos_s, acc, acc_pm, perm, diag = forces_aot(pos)
+                vel, ids = gather_close_kick(vel, state.ids, perm, acc,
+                                             acc_pm, dk)
+            return SimState(pos=pos_s, vel=vel, acc=acc, acc_pm=acc_pm,
+                            a=jnp.asarray(a_next, jnp.dtype(cfg.dtype)),
+                            ids=ids), diag
+
+        step.forces_sorted = forces_aot
+        return step
 
     if getattr(force_fn, "pm_fused", False):
         # Pallas-CIC PM shares the FMM tree and scatter: the force stage
@@ -286,7 +417,8 @@ class Simulation:
                     a: Optional[float] = None, log: bool = False):
         dtype = jnp.dtype(cfg.dtype)
         state = make_state(pos, vel, a if a is not None
-                           else cfg.initial_scale_factor, dtype)
+                           else cfg.initial_scale_factor, dtype,
+                           with_ids=cfg.sorted_state)
         run_log = RunLog(cfg.output_path, cfg.code_proj) if log else None
         return cls(cfg=cfg, state=state, engine=engine, log=run_log)
 
@@ -315,6 +447,20 @@ class Simulation:
     last_diag: dict = dataclasses.field(default_factory=dict)
 
     def compute_forces(self):
+        if getattr(self._force_fn, "sorted", False):
+            # sorted-state: the initial force call also reorders the whole
+            # state into the tree's space-filling-curve order
+            forces = getattr(self._step_fn, "forces_sorted", None) \
+                or self._force_jit
+            pos_s, acc, acc_pm, perm, diag = forces(self.state.pos)
+            vel = _gather_rows(self.state.vel, perm)
+            ids = None if self.state.ids is None \
+                else _gather_rows(self.state.ids, perm)
+            self.state = dataclasses.replace(
+                self.state, pos=pos_s, vel=vel, acc=acc, acc_pm=acc_pm,
+                ids=ids)
+            self._check_diag(diag)
+            return
         forces_all = getattr(self._step_fn, "forces_all", None)
         short_part = getattr(self._step_fn, "short_part", None)
         if forces_all is not None:      # split mode, tree-shared Pallas PM
@@ -336,6 +482,12 @@ class Simulation:
                     "CIC brick-tile overflow -- a leaf's particle spread "
                     "exceeds cic_tile cells; enlarge cic_tile",
                     kind="cic")
+            if self.last_diag.get("skin_overflow"):
+                raise CapacityOverflowError(
+                    "Verlet-skin overflow -- a particle drifted more than "
+                    "verlet_skin*cutoff/2 since the last list rebuild; "
+                    "enlarge verlet_skin or lower list_reuse",
+                    kind="skin")
             if self.last_diag.get("overflow"):
                 raise CapacityOverflowError(
                     "traversal capacity overflow -- enlarge "
@@ -353,9 +505,14 @@ class Simulation:
 
         kind='cic' grows only the CIC brick tile (leaf spread exceeded
         cic_tile cells); growing the traversal caps for that case would
-        burn recompile/rollback cycles without fixing anything."""
+        burn recompile/rollback cycles without fixing anything.  kind='skin'
+        doubles the Verlet skin (particles drifted out of the list-reuse
+        margin before the scheduled rebuild)."""
         if kind == "cic":
             self.cfg = self.cfg.replace(cic_tile=self.cfg.cic_tile * factor)
+        elif kind == "skin":
+            self.cfg = self.cfg.replace(
+                verlet_skin=self.cfg.verlet_skin * factor)
         else:
             self.cfg = self.cfg.replace(
                 open_cap_per_node=self.cfg.open_cap_per_node * factor,
@@ -455,7 +612,7 @@ class Simulation:
                         self.state, float(dkj), float(ddj),
                         float(np.exp(sub_loga[j + 1])))
                     dsub = dict(dsub)
-                    for key in ("overflow", "cic_overflow"):
+                    for key in ("overflow", "cic_overflow", "skin_overflow"):
                         if key in dsub and key in diag:
                             dsub[key] = dsub[key] | diag[key]
                     diag = dsub
@@ -469,7 +626,7 @@ class Simulation:
             # the window, not just the last step's)
             if "overflow" in diag or "cic_overflow" in diag:
                 diag = dict(diag)
-                for key in ("overflow", "cic_overflow"):
+                for key in ("overflow", "cic_overflow", "skin_overflow"):
                     if key in diag:
                         diag[key] = diag[key] | pending_ovf.get(key, False)
                         pending_ovf[key] = diag[key]
@@ -652,7 +809,7 @@ class Simulation:
             diag["overflow"] = overflow
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
-                         a=jnp.asarray(np.exp(loga1), dtype))
+                         a=jnp.asarray(np.exp(loga1), dtype), ids=s.ids)
         return state, diag
 
     def _adaptive_level(self, dk: float, eta: float, max_level: int) -> int:
@@ -684,6 +841,14 @@ class Simulation:
         os.makedirs(cfg.output_path, exist_ok=True)
         path = os.path.join(cfg.output_path,
                             f"{cfg.output_name}_{tag:.4f}.{shard}")
-        write_gadget(path, head,
-                     np.asarray(self.state.pos), np.asarray(self.state.vel))
+        pos = np.asarray(self.state.pos)
+        vel = np.asarray(self.state.vel)
+        if self.state.ids is not None:
+            # sorted-state runs carry particles in tree order; restore the
+            # IC order on disk so snapshots are bit-comparable with
+            # unsorted runs (the reference writes part[] in rank order,
+            # snapshot.c:397-503)
+            order = np.argsort(np.asarray(self.state.ids))
+            pos, vel = pos[order], vel[order]
+        write_gadget(path, head, pos, vel)
         return path

@@ -24,6 +24,9 @@ class SimState:
                 (part[].acc, photoNs.c:227-238)
     acc_pm   -- long-range (PM) acceleration (part[].acc_pm)
     a        -- current scale factor (scalar, traced)
+    ids      -- optional particle identities (Gadget ID block); carried
+                only by sorted-state runs, where the step reorders the
+                arrays into space-filling-curve order every step
     """
 
     pos: jax.Array
@@ -31,6 +34,7 @@ class SimState:
     acc: jax.Array
     acc_pm: jax.Array
     a: jax.Array
+    ids: Optional[jax.Array] = None
 
     @property
     def n(self) -> int:
@@ -41,7 +45,8 @@ class SimState:
         return self.pos.dtype
 
 
-def make_state(pos, vel, a: float, dtype=jnp.float32) -> SimState:
+def make_state(pos, vel, a: float, dtype=jnp.float32,
+               with_ids: bool = False) -> SimState:
     """Build a fresh SimState with zeroed accelerations."""
     pos = jnp.asarray(pos, dtype)
     vel = jnp.asarray(vel, dtype)
@@ -51,6 +56,7 @@ def make_state(pos, vel, a: float, dtype=jnp.float32) -> SimState:
         acc=jnp.zeros_like(pos),
         acc_pm=jnp.zeros_like(pos),
         a=jnp.asarray(a, dtype),
+        ids=jnp.arange(pos.shape[0], dtype=jnp.int32) if with_ids else None,
     )
 
 

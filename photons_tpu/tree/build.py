@@ -92,6 +92,20 @@ def build_tree(pos, mass: float, leaf_size: int, lo: float, hi: float,
 
     leaf_pos = sorted_pos.reshape(n_leaf, leaf_size, 3)
     leaf_mask = mask.reshape(n_leaf, leaf_size)
+    return tree_from_sorted(leaf_pos, leaf_mask, perm, mass)
+
+
+@partial(jax.jit, static_argnames=("mass",))
+def tree_from_sorted(leaf_pos, leaf_mask, perm, mass: float) -> Tree:
+    """Upward pass over an already-sorted leaf blocking.
+
+    The second half of :func:`build_tree`, callable on its own for
+    list-reuse stepping (cfg.list_reuse): when the sort is frozen between
+    traversal rebuilds, only the AABBs/centers/widths and multipoles need
+    refreshing from the moved positions -- the sort and the interaction
+    lists are reused as-is."""
+    n_leaf, leaf_size = leaf_pos.shape[:2]
+    pos = leaf_pos
 
     big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
     pmin = jnp.min(jnp.where(leaf_mask[..., None], leaf_pos, big), axis=1)

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--p2p-cap", type=int, default=96)
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
+    ap.add_argument("--sorted", action="store_true", dest="sorted_state",
+                    help="sorted-state stepping: keep particles in tree "
+                         "order across steps (kills the unsort scatter)")
+    ap.add_argument("--list-reuse", type=int, default=1,
+                    help="rebuild traversal lists every k-th step "
+                         "(Verlet skin; implies --sorted)")
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -73,6 +79,8 @@ def main():
         code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
     if args.theta is not None:
         cfg = cfg.replace(open_angle=args.theta)
+    if args.sorted_state or args.list_reuse > 1:
+        cfg = cfg.replace(sorted_state=True, list_reuse=args.list_reuse)
     print(f"IC: Zel'dovich EH98 LCDM, N={n}^3, L={cfg.boxsize:g} kpc/h",
           flush=True)
     pos, vel = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")

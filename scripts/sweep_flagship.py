@@ -89,6 +89,11 @@ def main():
     ap.add_argument("--thetas", default="0.4")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-profile", action="store_true")
+    ap.add_argument("--sorted", action="store_true", dest="sorted_state",
+                    help="sorted-state stepping (no unsort scatter)")
+    ap.add_argument("--list-reuse", type=int, default=1,
+                    help="rebuild traversal lists every k-th step "
+                         "(Verlet skin; implies --sorted)")
     ap.add_argument("--out", default="artifacts")
     args = ap.parse_args()
 
@@ -102,6 +107,8 @@ def main():
     n = args.n
     base = lcdm_config(n_part=n ** 3, n_side=n, dtype="float32",
                        fused_step=n < 256, code_proj=f"sweep{n}",
+                       sorted_state=args.sorted_state or args.list_reuse > 1,
+                       list_reuse=args.list_reuse,
                        output_path=args.out)
     pos, vel = ic_zeldovich(base, seed=2026, spectral_index="lcdm")
 

@@ -151,6 +151,108 @@ def test_ic_zeldovich_lcdm_spectrum():
     assert np.isfinite(p_m).all()
 
 
+def test_sorted_state_matches_unsorted():
+    """cfg.sorted_state keeps particles in tree order across steps (kills
+    the unsort scatter); undoing the permutation via state.ids must
+    reproduce the canonical-order trajectory, in both step dispatch modes."""
+    cfg = SimConfig(boxsize=50.0, n_side=32, n_part_total=512,
+                    dtype="float64", leaf_size=16)
+    rng = np.random.default_rng(37)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    a1 = cfg.initial_scale_factor * 1.05
+
+    ref = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    ref.run(n_steps=3, a_final=a1)
+    for fused in (True, False):
+        s = Simulation.from_arrays(
+            cfg.replace(sorted_state=True, fused_step=fused), pos,
+            np.zeros_like(pos), engine="fmm")
+        s.run(n_steps=3, a_final=a1)
+        ids = np.asarray(s.state.ids)
+        assert sorted(ids.tolist()) == list(range(512))   # a permutation
+        order = np.argsort(ids)
+        np.testing.assert_allclose(np.asarray(s.state.pos)[order],
+                                   np.asarray(ref.state.pos),
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s.state.vel)[order],
+                                   np.asarray(ref.state.vel),
+                                   rtol=0, atol=1e-9)
+
+
+def test_list_reuse_matches_per_step_rebuild():
+    """cfg.list_reuse=3 (Verlet-list amortization: traversal rebuilt every
+    3rd step, geometry/multipoles refreshed in between) must track the
+    rebuild-every-step trajectory.  Exact equality is not expected: the
+    reuse config's lists include the erfc-damped pairs in the skin shell
+    [cutoff, cutoff*(1+skin)], which the per-step config truncates."""
+    cfg = SimConfig(boxsize=50.0, n_side=32, n_part_total=512,
+                    dtype="float64", leaf_size=16, sorted_state=True)
+    rng = np.random.default_rng(43)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    a1 = cfg.initial_scale_factor * 1.08
+
+    ref = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    ref.run(n_steps=6, a_final=a1)
+    s = Simulation.from_arrays(cfg.replace(list_reuse=3, verlet_skin=0.3),
+                               pos, np.zeros_like(pos), engine="fmm")
+    s.run(n_steps=6, a_final=a1)
+    assert not s.last_diag.get("skin_overflow", 0)
+    order = np.argsort(np.asarray(s.state.ids))
+    order_r = np.argsort(np.asarray(ref.state.ids))
+    np.testing.assert_allclose(np.asarray(s.state.pos)[order],
+                               np.asarray(ref.state.pos)[order_r],
+                               rtol=0, atol=1e-6 * cfg.boxsize)
+
+
+def test_verlet_skin_monitor():
+    """The reuse-step drift monitor must flag exactly when some particle
+    moved more than verlet_skin*cutoff/2 since the rebuild."""
+    from photons_tpu.ops.fmm_engine import fmm_forces, fmm_forces_reuse
+
+    cfg = SimConfig(boxsize=50.0, n_side=32, n_part_total=256,
+                    dtype="float64", leaf_size=16, sorted_state=True,
+                    list_reuse=2, verlet_skin=0.2)
+    rng = np.random.default_rng(47)
+    pos = rng.uniform(0, 50.0, (256, 3))
+    (_, pos_s, _, lists), _ = fmm_forces(pos, cfg, layout="sorted",
+                                         return_lists=True)
+    pos_s = np.asarray(pos_s)
+    half_skin = 0.5 * cfg.verlet_skin * cfg.cutoff_radius
+
+    small = pos_s.copy()
+    small[7] = (small[7] + 0.9 * half_skin / np.sqrt(3)) % cfg.boxsize
+    _, diag = fmm_forces_reuse(jnp.asarray(small), lists,
+                               jnp.asarray(pos_s), cfg)
+    assert not bool(diag["skin_overflow"])
+
+    big = pos_s.copy()
+    big[7] = (big[7] + 1.1 * half_skin / np.sqrt(3)) % cfg.boxsize
+    _, diag = fmm_forces_reuse(jnp.asarray(big), lists,
+                               jnp.asarray(pos_s), cfg)
+    assert bool(diag["skin_overflow"])
+
+
+def test_sorted_state_snapshot_order(tmp_path):
+    """Snapshots from a sorted-state run must be written in IC order
+    (bit-comparable with unsorted runs)."""
+    from photons_tpu.io.gadget import read_gadget
+
+    cfg = SimConfig(boxsize=50.0, n_side=32, n_part_total=512,
+                    dtype="float64", leaf_size=16,
+                    output_path=str(tmp_path), output_name="srt")
+    rng = np.random.default_rng(41)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    sim = Simulation.from_arrays(cfg.replace(sorted_state=True), pos,
+                                 np.zeros_like(pos), engine="fmm")
+    sim.compute_forces()
+    path = sim.write_snapshot()
+    _, pos_disk, _ = read_gadget(path)
+    # compute_forces reordered state into tree order, but disk order must
+    # match the IC order (f32 on disk)
+    np.testing.assert_allclose(pos_disk, pos.astype(np.float32), rtol=0,
+                               atol=1e-5)
+
+
 def test_split_step_matches_fused():
     """fused_step=False (separate kick/FMM/PM device programs -- the 256^3
     HBM-ceiling mode) must reproduce the fused one-jit trajectory."""
