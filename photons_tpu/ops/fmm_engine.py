@@ -163,10 +163,10 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
         acc_leaf = acc_leaf + acc_p2p
     elif p2p_backend in ("indexing", "redundant"):
         from photons_tpu.ops.p2p_pallas import p2p_pallas
-        acc_p2p, nbr_overflow = p2p_pallas(tree, lists, mass,
-                                           cfg.soften_scale, rs, box,
-                                           layout=p2p_backend,
-                                           leaf_active=leaf_active)
+        acc_p2p, nbr_overflow = p2p_pallas(
+            tree, lists, mass, cfg.soften_scale, rs, box,
+            layout=p2p_backend, leaf_active=leaf_active,
+            cutoff=cfg.cutoff_radius if cfg.longshort else None)
         acc_leaf = acc_leaf + acc_p2p
     else:
         raise ValueError(f"unknown p2p backend {p2p_backend!r}")

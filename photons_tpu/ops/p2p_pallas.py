@@ -117,6 +117,64 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
     return table[:n_leaf], overflow
 
 
+def halve_table(tree, table, cutoff: float, boxsize, cap: int):
+    """Refine the per-leaf neighbor table to HALF-leaf source granularity,
+    culling halves whose AABB lies wholly beyond the cutoff.
+
+    The traversal's discard test (gap^2 >= cutoff^2) runs at leaf
+    granularity; with large compute leaves (S=256: leaf width ~ 1.1x the
+    cutoff at 256^3) most of each listed source leaf is out of range of
+    the target, so the (S x S) tile is mostly wasted work.  Halving the
+    source blocks along the space-filling-curve order (halves are
+    spatially compact) and re-applying the same gap test culls ~half the
+    pair volume while keeping full 128-lane tiles -- the reference has no
+    analogue (its GPU kernel computes every listed leaf pair in full).
+
+    table (nleaf, K) leaf indices -> (nleaf, cap) half-block indices into
+    the (2*nleaf, S/2) halved particle arrays, plus an overflow flag.
+    """
+    from jax import lax
+
+    n_leaf, s = tree.pos.shape[:2]
+    sh = s // 2
+    hpos = tree.pos.reshape(n_leaf * 2, sh, 3)
+    hmask = tree.mask.reshape(n_leaf * 2, sh)
+    big = jnp.asarray(jnp.finfo(tree.pos.dtype).max, tree.pos.dtype)
+    hmin = jnp.min(jnp.where(hmask[..., None], hpos, big), axis=1)
+    hmax = jnp.max(jnp.where(hmask[..., None], hpos, -big), axis=1)
+    hcount = jnp.sum(hmask, axis=1)
+    nonempty = (hcount > 0)[:, None]
+    hc = jnp.where(nonempty, 0.5 * (hmin + hmax), 0.0)
+    hw = jnp.where(nonempty, hmax - hmin, 0.0)
+
+    # target leaf AABBs from the tree's leaf level
+    tc = tree.centers[-1]                               # (nleaf, 3)
+    tw = tree.widths[-1]
+
+    k = table.shape[1]
+    valid = table >= 0
+    safe = jnp.maximum(table, 0)
+    cand = jnp.stack([2 * safe, 2 * safe + 1], axis=-1).reshape(n_leaf, 2 * k)
+    cvalid = jnp.repeat(valid, 2, axis=1)
+
+    gap2 = 0.0
+    for ax in range(3):
+        d = tc[:, None, ax] - hc[:, ax][cand]
+        if boxsize is not None:
+            d = d - boxsize * jnp.round(d * (1.0 / boxsize))
+        g = jnp.maximum(jnp.abs(d)
+                        - 0.5 * (tw[:, None, ax] + hw[:, ax][cand]), 0.0)
+        gap2 = gap2 + g * g
+    keep = cvalid & (hcount[cand] > 0) & (gap2 < cutoff * cutoff)
+
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    vals = jnp.where(keep, cand, -1).astype(jnp.int32)
+    _, packed = lax.sort((key, vals), dimension=1, is_stable=True,
+                         num_keys=1)
+    counts = jnp.sum(keep, axis=1)
+    return packed[:, :cap], jnp.any(counts > cap)
+
+
 # ---------------------------------------------------------------------------
 # redundant layout
 # ---------------------------------------------------------------------------
@@ -228,22 +286,36 @@ def p2p_redundant(planes, masses, src_planes, src_mass, *, eps: float,
 # ---------------------------------------------------------------------------
 
 def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
-                 boxsize: Optional[float], interpret: Optional[bool] = None):
+                 boxsize: Optional[float], interpret: Optional[bool] = None,
+                 half: bool = False):
     """Gather-through-the-index kernel: source blocks DMA'd from HBM inside
     the kernel through the neighbor table (no data duplication).
 
     planes (nleaf, 3, S), masses (nleaf, S), table (nleaf, K) ->
     (nleaf, 3, S) accelerations.
+
+    ``half``: the table holds HALF-leaf block indices (from
+    :func:`halve_table`); sources are DMA'd as (3, S/2) blocks -- the
+    cutoff-culled fine-granularity stream.
     """
     from photons_tpu.ops.p2p_pallas_indexing import (
         p2p_indexing_rows, pack_combined_rows)
 
     n_leaf, _, s = planes.shape
     combined = pack_combined_rows(planes, masses)
+    kw = {}
+    if half:
+        sh = s // 2
+        hplanes = jnp.moveaxis(
+            planes.reshape(n_leaf, 3, 2, sh), 2, 1).reshape(n_leaf * 2, 3, sh)
+        hmasses = masses.reshape(n_leaf * 2, sh)
+        kw = dict(combined_src=pack_combined_rows(hplanes, hmasses),
+                  s_src=sh)
     rows = p2p_indexing_rows(
         combined, table, s, eps=eps, rs=rs, boxsize=boxsize,
         pair_tile=_pair_force_tile,
-        interpret=_interpret_default() if interpret is None else interpret)
+        interpret=_interpret_default() if interpret is None else interpret,
+        **kw)
     return rows[:, :3 * s].reshape(n_leaf, 3, s)
 
 
@@ -253,7 +325,8 @@ def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
 
 def p2p_prepare(tree, lists, mass: float,
                 boxsize: Optional[float], layout: str = "redundant",
-                neighbor_cap: Optional[int] = None, leaf_active=None):
+                neighbor_cap: Optional[int] = None, leaf_active=None,
+                cutoff: Optional[float] = None):
     """The 'collect' phase (dtime_p2p_collect analogue): build the kernel's
     input layout from the tree + neighbor table.  Returns a dict of arrays
     consumed by :func:`p2p_compute`."""
@@ -286,16 +359,22 @@ def p2p_prepare(tree, lists, mass: float,
                 "src_planes": src_planes, "src_mass": src_mass,
                 "chunk_counts": chunk_counts, "overflow": overflow}
     elif layout == "indexing":
-        # lane-align the table row (SMEM DMA granularity: 128 int32 = 512 B)
-        k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
-        if k_pad:
-            table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
         if leaf_active is not None:
             # inactive rows: empty the table row (entries -1 -> the kernel
             # masks the sources; row DMA still runs but computes nothing)
             table = jnp.where(leaf_active[:, None], table, -1)
+        half = cutoff is not None and s >= 2 * LANES
+        if half:
+            # half-leaf source refinement: cull out-of-cutoff halves (the
+            # candidate count 2K is the cap, so no new truncation)
+            table, _ = halve_table(tree, table, cutoff, boxsize,
+                                   cap=2 * table.shape[1])
+        # lane-align the table row (SMEM DMA granularity: 128 int32 = 512 B)
+        k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
+        if k_pad:
+            table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
         return {"layout": layout, "planes": planes, "masses": masses,
-                "table": table, "overflow": overflow}
+                "table": table, "overflow": overflow, "half": half}
     raise ValueError(f"unknown P2P layout {layout!r}")
 
 
@@ -314,22 +393,27 @@ def p2p_compute(prepared, eps: float, rs: Optional[float],
     else:
         acc = p2p_indexing(prepared["planes"], prepared["masses"],
                            prepared["table"], eps=eps, rs=rs,
-                           boxsize=boxsize, interpret=interpret)
+                           boxsize=boxsize, interpret=interpret,
+                           half=prepared.get("half", False))
     return jnp.moveaxis(acc, 1, -1)                     # (nleaf, S, 3)
 
 
 def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
                boxsize: Optional[float], layout: str = "redundant",
                neighbor_cap: Optional[int] = None,
-               interpret: Optional[bool] = None, leaf_active=None):
+               interpret: Optional[bool] = None, leaf_active=None,
+               cutoff: Optional[float] = None):
     """P2P via a Pallas kernel -> per-particle acc (nleaf, S, 3).
 
     Drop-in replacement for ops.fmm_engine.p2p_jnp (= prepare + compute;
     split out so the phase profiler can time collect vs kernel separately,
     the reference's dtime_p2p_collect / dtime_p2p_self distinction).
+
+    ``cutoff``: enables half-leaf source culling for the indexing layout
+    when S >= 256 (see halve_table).
     """
     prepared = p2p_prepare(tree, lists, mass, boxsize, layout=layout,
                            neighbor_cap=neighbor_cap,
-                           leaf_active=leaf_active)
+                           leaf_active=leaf_active, cutoff=cutoff)
     acc = p2p_compute(prepared, eps, rs, boxsize, interpret=interpret)
     return acc, prepared["overflow"]

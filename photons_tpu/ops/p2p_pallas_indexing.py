@@ -46,7 +46,7 @@ def pack_combined_rows(planes, masses):
 
 def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
                      row_smem, src_buf, sems, tsem, *,
-                     eps, rs, boxsize, s, pair_tile):
+                     eps, rs, boxsize, s, s_src, pair_tile):
     i = pl.program_id(0)
     count = cnt_ref[i]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)  # (1, 1, W)
@@ -67,6 +67,7 @@ def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
         tx = tgt_ref[0, 0, 0:s]
         ty = tgt_ref[0, 0, s:2 * s]
         tz = tgt_ref[0, 0, 2 * s:3 * s]
+        ss = s_src
 
         def body(k, acc):
             slot = k % 2
@@ -78,8 +79,9 @@ def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
             fetch(slot, k).wait()
             ax, ay, az = pair_tile(
                 tx, ty, tz,
-                src_buf[slot, 0, 0:s], src_buf[slot, 0, s:2 * s],
-                src_buf[slot, 0, 2 * s:3 * s], src_buf[slot, 0, 3 * s:4 * s],
+                src_buf[slot, 0, 0:ss], src_buf[slot, 0, ss:2 * ss],
+                src_buf[slot, 0, 2 * ss:3 * ss],
+                src_buf[slot, 0, 3 * ss:4 * ss],
                 eps, rs, boxsize)
             return (acc[0] + ax, acc[1] + ay, acc[2] + az)
 
@@ -92,15 +94,25 @@ def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
 
 def p2p_indexing_rows(combined, table, s: int, *, eps: float,
                       rs: Optional[float], boxsize: Optional[float],
-                      pair_tile, interpret: bool):
-    """Run the indexing kernel; returns acc rows (nleaf, W) [ax|ay|az|0]."""
+                      pair_tile, interpret: bool, combined_src=None,
+                      s_src: Optional[int] = None):
+    """Run the indexing kernel; returns acc rows (nleaf, W) [ax|ay|az|0].
+
+    ``combined_src``/``s_src``: optional separate source-row array with a
+    different block width (half-leaf refinement, ``halve_table``); the
+    table then indexes rows of ``combined_src``.  Default: sources are the
+    target rows themselves (classic full-leaf indexing layout).
+    """
     n_leaf, w = combined.shape
+    if combined_src is None:
+        combined_src, s_src = combined, s
+    w_src = combined_src.shape[1]
     k_cap = table.shape[1]
     counts = jnp.sum(table >= 0, axis=1).astype(jnp.int32)
     safe_table = jnp.where(table >= 0, table, 0)
 
     kernel = partial(_indexing_kernel, eps=eps, rs=rs, boxsize=boxsize,
-                     s=s, pair_tile=pair_tile)
+                     s=s, s_src=s_src, pair_tile=pair_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                     # counts only (n_leaf ints)
         grid=(n_leaf,),
@@ -110,13 +122,13 @@ def p2p_indexing_rows(combined, table, s: int, *, eps: float,
             pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # neighbor table
-            pl.BlockSpec(memory_space=pltpu.HBM),  # combined particle rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # combined source rows
         ],
         out_specs=pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((1, k_cap), jnp.int32),     # own table-row page
-            pltpu.VMEM((2, 1, w), combined.dtype),  # double-buffered source
+            pltpu.VMEM((2, 1, w_src), combined_src.dtype),  # dbl-buffered src
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -127,5 +139,5 @@ def p2p_indexing_rows(combined, table, s: int, *, eps: float,
         out_shape=jax.ShapeDtypeStruct((n_leaf, 1, w), combined.dtype),
         interpret=interpret,
     )(counts, combined[:, None, :], safe_table[:, None, :],
-      combined[:, None, :])
+      combined_src[:, None, :])
     return out[:, 0, :]

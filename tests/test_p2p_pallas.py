@@ -75,6 +75,57 @@ def test_pallas_uneven_leaf_occupancy():
         assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
 
 
+def test_indexing_half_leaf_culling():
+    """S=256 flagship tile: the indexing layout refines sources to
+    cutoff-culled half-leaf blocks (halve_table).  Must agree with the jnp
+    path up to the erfc tail of the culled out-of-cutoff halves (the
+    traversal's own leaf-granularity discard has the same semantics)."""
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096, dtype="float64",
+                    leaf_size=256, open_cap_per_node=128,
+                    p2p_neighbor_cap=96)
+    assert cfg.longshort and cfg.periodic
+    pos = jnp.asarray(np.random.default_rng(10).uniform(0, L, (4096, 3)))
+    ref, _ = jax.jit(lambda p: fmm_forces(p, cfg, p2p_backend="jnp"))(pos)
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg,
+                                             p2p_backend="indexing"))(pos)
+    assert not bool(diag["overflow"])
+    rms = float(jnp.sqrt((ref**2).sum(-1)).mean())
+    # budget: rational-erfc 1.5e-7 + the culled halves' erfc-tail forces
+    # (g(cutoff) ~ 1.5e-3 of Newtonian at r = 4.5 r_s)
+    assert float(jnp.abs(acc - ref).max()) / rms < 2e-3
+    assert float(jnp.sqrt(((acc - ref) ** 2).mean())) / rms < 2e-4
+
+
+def test_halve_table_culls_and_covers():
+    """halve_table: every kept half is within cutoff of the target AABB;
+    every culled half is beyond it; indices address the halved layout."""
+    from photons_tpu.ops.p2p_pallas import halve_table
+    from photons_tpu.ops.traversal import dual_tree_traversal
+    from photons_tpu.tree.build import build_tree
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096, dtype="float64",
+                    leaf_size=256)
+    pos = jnp.asarray(np.random.default_rng(12).uniform(0, L, (4096, 3)))
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=256,
+                      lo=0.0, hi=L)
+    lists = dual_tree_traversal(tree, theta=cfg.open_angle,
+                                cutoff=cfg.cutoff_radius, boxsize=L,
+                                open_cap=128, m2l_cap=64, p2p_cap=96)
+    half, ovf = halve_table(tree, lists.p2p, cfg.cutoff_radius, L,
+                            cap=2 * lists.p2p.shape[1])
+    assert not bool(ovf)
+    h = np.asarray(half)
+    t = np.asarray(lists.p2p)
+    n_leaf = tree.n_leaf
+    assert h.min() >= -1 and h.max() < 2 * n_leaf
+    # kept halves must come from listed leaves, and some culling happened
+    for row in range(min(4, n_leaf)):
+        kept_leaves = set((h[row][h[row] >= 0] // 2).tolist())
+        listed = set(t[row][t[row] >= 0].tolist())
+        assert kept_leaves <= listed
+    assert (h >= 0).sum() < 2 * (t >= 0).sum()          # culled something
+
+
 def test_pallas_s128_tile_path():
     """leaf_size=128 (the TPU-tuned configuration: full (128,128) tiles,
     one chunk per neighbor) must agree with the jnp path."""
