@@ -21,8 +21,21 @@ small (T, T, full-z) brick of the mesh.  Per leaf:
 The grid iterates leaves sequentially ("arbitrary" semantics), so the
 read-modify-write brick updates never race.  Readout is the transpose:
 gather the gradient brick, M = brick . Wz^T, then a row-wise contraction
-with (Wx (x) Wy).  Periodic wrap is handled outside the kernel by painting
-into a halo-padded mesh and folding the halos (the kernels never wrap).
+with (Wx (x) Wy).
+
+Axis layout: x/y are the brick-sliced dims and carry a HALO-cell periodic
+margin (folded/padded outside the kernels); z spans the full mesh axis as
+the lane dimension and wraps INSIDE the weight matrix (the two CIC
+entries are placed at wrapped cell indices), so the z extent is exactly
+n_side lanes -- at 256^3 this cuts the per-brick DMA + contraction width
+from 384 padded lanes to 256.
+
+Readout fuses the three gradient components into one lane-concatenated
+field (ONE brick DMA + ONE MXU contraction per leaf instead of three) and
+double-buffers the brick DMA across grid steps, so leaf i+1's fetch
+overlaps leaf i's contraction.  Paint stays single-buffered: consecutive
+Hilbert leaves touch overlapping bricks, so prefetching the next brick
+before the current read-modify-write lands would race.
 
 Leaves whose AABB exceeds the T-cell brick (rare: underdense regions at
 late times) are detected and handled by the caller's XLA fallback on a
@@ -50,13 +63,14 @@ def effective_tile(n_side: int, tile: int) -> int:
 
 
 def _mesh_dims(n_side: int):
-    """Padded mesh dims: logical (n+2H)^3 plus Mosaic tiling padding --
-    the DMA'd brick slices need dim 1 in 8s and dim 2 in 128s, so the
-    array itself is rounded up (the tail cells are dead zeros)."""
+    """Padded mesh dims.  x/y carry the 2H halo (plus dim-1 sublane
+    rounding); z has NO halo -- the wrap lives in the z weight matrix --
+    so it is just n_side rounded up to the 128-lane tile (exact at
+    production sizes: 128^3, 256^3)."""
     logical = n_side + 2 * HALO
     npx = logical
     npy = -(-logical // 8) * 8
-    npz = -(-logical // 128) * 128
+    npz = -(-n_side // 128) * 128
     return logical, npx, npy, npz
 
 
@@ -64,17 +78,20 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _axis_weights(coord, inv_delta, origin, t: int, wts=None):
-    """Per-axis CIC weight matrix (S, t): rows have (1-f) at i and f at
-    i+1, indices local to ``origin`` (clamped into the brick)."""
+def _z_weights(coord, inv_delta, n: int, npz: int, wts=None):
+    """Full-axis z CIC weight matrix (S, npz) with PERIODIC placement:
+    rows have (1-f) at i mod n and f at (i+1) mod n.  The wrap makes a z
+    halo unnecessary, so npz is just n rounded to the lane tile."""
     u = coord * inv_delta - 0.5
     c = jnp.floor(u)
     f = (u - c).astype(coord.dtype)
-    i = c.astype(jnp.int32) - origin
-    i = jnp.clip(i, 0, t - 2)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], t), 1)
-    w = jnp.where(iota == i[:, None], (1.0 - f)[:, None], 0.0)
-    w = jnp.where(iota == i[:, None] + 1, f[:, None], w)
+    i = c.astype(jnp.int32)
+    # positions live in [0, L): i in [-1, n-1], i+1 in [0, n]
+    i0 = jnp.where(i < 0, i + n, i)
+    i1 = jnp.where(i + 1 >= n, i + 1 - n, i + 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], npz), 1)
+    w = jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
+    w = w + jnp.where(iota == i1[:, None], f[:, None], 0.0)
     if wts is not None:
         w = w * wts[:, None]
     return w
@@ -109,7 +126,7 @@ _DN_CONTRACT_1 = (((1,), (1,)), ((), ()))    # (A, K) . (B, K)^T -> (A, B)
 
 def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
                   out_ref, brick, sem_in, sem_out, *,
-                  t: int, npz: int, inv_delta: float):
+                  t: int, n: int, npz: int, inv_delta: float):
     i = pl.program_id(0)
     packed = origins[i]
     ox = packed >> 16
@@ -120,9 +137,10 @@ def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
     cp_in.start()
 
     xy = _xy_weights(px_ref[0, 0, :], py_ref[0, 0, :], inv_delta, ox, oy, t)
-    # z bricks span the full (padded) axis; origin 0, weights carry mass
-    wz = _axis_weights(pz_ref[0, 0, :], inv_delta, 0, npz,
-                       wts=wt_ref[0, 0, :])
+    # z bricks span the full axis with in-matrix periodic wrap; the
+    # weights carry the particle masses
+    wz = _z_weights(pz_ref[0, 0, :], inv_delta, n, npz,
+                    wts=wt_ref[0, 0, :])
 
     # (t*t, npz) = sum_s xy[s, :] (x) wz[s, :] -- one MXU contraction
     add = jax.lax.dot_general(xy, wz, _DN_CONTRACT_0,
@@ -142,22 +160,24 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
     """Accumulate leaf-blocked particles onto a halo-padded mesh.
 
     leaf_pos (nleaf, S, 3) absolute positions (padding slots anywhere,
-    weight 0); leaf_wts (nleaf, S); origins (nleaf, 2) int32 brick corners
-    in PADDED x/y cell coordinates.  Returns (n+2H, n+2H, n+2H) f32.
+    weight 0); leaf_wts (nleaf, S); origins (nleaf,) packed int32 brick
+    corners in PADDED x/y cell coordinates.  Returns (npx, npy, npz) f32
+    with x/y halos and in-matrix-wrapped z (see _mesh_dims).
     """
     n_leaf, s = leaf_wts.shape
     logical, npx, npy, npz = _mesh_dims(n_side)
     delta = boxsize / n_side
-    kernel = functools.partial(_paint_kernel, t=tile, npz=npz,
+    kernel = functools.partial(_paint_kernel, t=tile, n=n_side, npz=npz,
                                inv_delta=1.0 / delta)
 
-    # positions shifted so padded cell index = floor(u) + HALO >= 0
+    # x/y shifted so padded cell index = floor(u) + HALO >= 0; z stays in
+    # mesh coordinates (the z weights wrap in-matrix, no halo)
     shift = HALO * delta
     # (nleaf, 1, S) pages: (1, 1, S) blocks satisfy the (8, 128) tiling
     # rule through dim equality (same trick as the indexing P2P kernel)
     px = (leaf_pos[:, :, 0] + shift)[:, None, :]
     py = (leaf_pos[:, :, 1] + shift)[:, None, :]
-    pz = (leaf_pos[:, :, 2] + shift)[:, None, :]
+    pz = leaf_pos[:, :, 2][:, None, :]
     wts3 = leaf_wts[:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -189,48 +209,68 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
     )(origins, px, py, pz, wts3, mesh0)
 
 
-def _read_kernel(origins, px_ref, py_ref, pz_ref, gx_ref, gy_ref, gz_ref,
-                 out_ref, brick, sem_in, *, t: int, npz: int,
-                 inv_delta: float):
+def _read_kernel(origins, px_ref, py_ref, pz_ref, g_ref,
+                 out_ref, bricks, sems, *, t: int, n: int, npz: int,
+                 inv_delta: float, num_leaves: int):
     i = pl.program_id(0)
+
+    def fetch(slot, idx):
+        packed = origins[idx]
+        ox = packed >> 16
+        oy = (packed & 0xFFFF) * 8      # stored /8: 8-aligned for Mosaic
+        return pltpu.make_async_copy(
+            g_ref.at[pl.ds(ox, t), pl.ds(oy, t), :], bricks.at[slot],
+            sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        fetch(0, 0).start()
+
+    # weight build overlaps the in-flight brick DMA
     packed = origins[i]
     ox = packed >> 16
-    oy = (packed & 0xFFFF) * 8  # stored /8: provably 8-aligned for Mosaic
-
+    oy = (packed & 0xFFFF) * 8
     xy = _xy_weights(px_ref[0, 0, :], py_ref[0, 0, :], inv_delta, ox, oy, t)
-    wz = _axis_weights(pz_ref[0, 0, :], inv_delta, 0, npz)
+    wz = _z_weights(pz_ref[0, 0, :], inv_delta, n, npz)
 
-    for c, g_ref in enumerate((gx_ref, gy_ref, gz_ref)):
-        cp = pltpu.make_async_copy(
-            g_ref.at[pl.ds(ox, t), pl.ds(oy, t), :], brick, sem_in)
-        cp.start()
-        cp.wait()
-        # (t*t, npz) via sublane concat (Mosaic rejects the 3-D reshape);
-        # then ONE full-width MXU dot per component: C[s, z] =
-        # sum_ij xy[s, ij] brick[ij, z], and val = sum_z C * wz
-        flat = jnp.concatenate([brick[r] for r in range(t)], axis=0)
-        cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-        out_ref[0, c, :] = jnp.sum(cz * wz, axis=1).astype(out_ref.dtype)
+    @pl.when(i + 1 < num_leaves)
+    def _():
+        fetch((i + 1) % 2, i + 1).start()
+
+    slot = i % 2
+    fetch(slot, i).wait()
+    # (t*t, 3*npz) via sublane concat (Mosaic rejects the 3-D reshape);
+    # then ONE full-width MXU dot covering ALL THREE gradient components:
+    # C[s, cz] = sum_ij xy[s, ij] brick[ij, cz]
+    flat = jnp.concatenate([bricks[slot, r] for r in range(t)], axis=0)
+    cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    for c in range(3):
+        seg = cz[:, c * npz:(c + 1) * npz]
+        out_ref[0, c, :] = jnp.sum(seg * wz, axis=1).astype(out_ref.dtype)
 
 
 def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
                 boxsize: float, interpret: Optional[bool] = None):
     """Trilinear readout of three padded scalar fields at leaf particles.
 
-    padded_fields: tuple of three (n+2H,)^3 arrays (gradient components).
-    Returns (nleaf, 3, S) values in leaf order.
+    padded_fields: tuple of three (npx, npy, npz) arrays (gradient
+    components, from :func:`pad_periodic`); fused along the lane axis
+    into one (npx, npy, 3*npz) field so each leaf costs ONE double-
+    buffered brick DMA + ONE MXU contraction.  Returns (nleaf, 3, S)
+    values in leaf order.
     """
     n_leaf, s = leaf_pos.shape[:2]
     logical, npx, npy, npz = _mesh_dims(n_side)
     delta = boxsize / n_side
-    kernel = functools.partial(_read_kernel, t=tile, npz=npz,
-                               inv_delta=1.0 / delta)
+    kernel = functools.partial(_read_kernel, t=tile, n=n_side, npz=npz,
+                               inv_delta=1.0 / delta, num_leaves=n_leaf)
     shift = HALO * delta
     px = (leaf_pos[:, :, 0] + shift)[:, None, :]
     py = (leaf_pos[:, :, 1] + shift)[:, None, :]
-    pz = (leaf_pos[:, :, 2] + shift)[:, None, :]
+    pz = leaf_pos[:, :, 2][:, None, :]
+    fused = jnp.concatenate(padded_fields, axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -240,13 +280,11 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 3, s), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile, npz), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile, tile, 3 * npz), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -256,7 +294,7 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret_default() if interpret is None else interpret,
-    )(origins, px, py, pz, *padded_fields)
+    )(origins, px, py, pz, fused)
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +334,12 @@ def brick_origins(leaf_pos, leaf_mask, n_side: int, tile: int,
 
 
 def fold_halos(padded, n_side: int):
-    """Fold the periodic halos of a painted padded mesh -> (n,)^3."""
+    """Fold the periodic x/y halos of a painted padded mesh -> (n,)^3.
+    z needs no fold: the paint kernel's z weights wrap in-matrix."""
     h, n = HALO, n_side
     logical = n + 2 * h
-    m = padded[:logical, :logical, :logical]
-    for ax in range(3):
+    m = padded[:logical, :logical, :n]
+    for ax in range(2):
         lo = jax.lax.slice_in_dim(m, 0, h, axis=ax)
         hi = jax.lax.slice_in_dim(m, n + h, n + 2 * h, axis=ax)
         core = jax.lax.slice_in_dim(m, h, n + h, axis=ax)
@@ -317,9 +356,10 @@ def _add_at(arr, add, lo, hi, ax):
 
 
 def pad_periodic(field, n_side: int):
-    """Periodic halo pad of an (n,)^3 field, zero-extended to the
-    Mosaic-tiled mesh dims."""
+    """Periodic x/y halo pad of an (n,)^3 field, zero-extended to the
+    Mosaic-tiled mesh dims.  z is not padded (the read kernel's z weights
+    wrap in-matrix)."""
     logical, npx, npy, npz = _mesh_dims(n_side)
-    f = jnp.pad(field, HALO, mode="wrap")
+    f = jnp.pad(field, ((HALO, HALO), (HALO, HALO), (0, 0)), mode="wrap")
     return jnp.pad(f, ((0, npx - logical), (0, npy - logical),
-                       (0, npz - logical)))
+                       (0, npz - n_side)))
