@@ -117,55 +117,77 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
     return table[:n_leaf], overflow
 
 
-def halve_table(tree, table, cutoff: float, boxsize, cap: int):
-    """Refine the per-leaf neighbor table to HALF-leaf source granularity,
-    culling halves whose AABB lies wholly beyond the cutoff.
+REFINE_TARGET = 64       # target block width (sublane factor of the tile)
+REFINE_SOURCE = 128      # source block width (must fill the 128 lanes)
+
+
+def _block_geometry(tree, f: int):
+    """Tight AABBs of the f equal blocks of each leaf along the SFC
+    order: centers (f*nleaf, 3), full widths, and particle counts."""
+    n_leaf, s = tree.pos.shape[:2]
+    w = s // f
+    p = tree.pos.reshape(n_leaf * f, w, 3)
+    m = tree.mask.reshape(n_leaf * f, w)
+    big = jnp.asarray(jnp.finfo(tree.pos.dtype).max, tree.pos.dtype)
+    bmin = jnp.min(jnp.where(m[..., None], p, big), axis=1)
+    bmax = jnp.max(jnp.where(m[..., None], p, -big), axis=1)
+    cnt = jnp.sum(m, axis=1)
+    nonempty = (cnt > 0)[:, None]
+    c = jnp.where(nonempty, 0.5 * (bmin + bmax), 0.0)
+    wd = jnp.where(nonempty, bmax - bmin, 0.0)
+    return c, wd, cnt
+
+
+def refine_table(tree, table, cutoff: float, boxsize, cap: int,
+                 ft: int = 2, fs: int = 2):
+    """Refine the per-leaf neighbor table to sub-leaf block granularity,
+    culling (target block, source block) pairs whose tight AABBs lie
+    wholly beyond the cutoff.
 
     The traversal's discard test (gap^2 >= cutoff^2) runs at leaf
-    granularity; with large compute leaves (S=256: leaf width ~ 1.1x the
-    cutoff at 256^3) most of each listed source leaf is out of range of
-    the target, so the (S x S) tile is mostly wasted work.  Halving the
-    source blocks along the space-filling-curve order (halves are
-    spatially compact) and re-applying the same gap test culls ~half the
-    pair volume while keeping full 128-lane tiles -- the reference has no
-    analogue (its GPU kernel computes every listed leaf pair in full).
+    granularity with grid-cell bounds; with large compute leaves (S=256:
+    leaf width ~ 1.1x the cutoff at 256^3) most of each listed (S x S)
+    tile is out of range.  Splitting each leaf into ft target blocks and
+    fs source blocks along the space-filling-curve order (blocks are
+    spatially compact) keeps full 128-lane tiles (source blocks stay
+    >= 128 wide; target blocks become the tile's sublane factor, free to
+    shrink) while the finer granularity -- and the TIGHT particle AABBs,
+    strictly smaller than the traversal's grid cells -- culls the corner
+    volume on both factors.  Measured on uniform 64^3 (S=256): kept pair
+    volume 0.67x at (2,2), 0.56x at (4,2), 0.47x at (8,2).  The
+    reference has no analogue (its GPU kernel computes every listed leaf
+    pair in full).
 
-    table (nleaf, K) leaf indices -> (nleaf, cap) half-block indices into
-    the (2*nleaf, S/2) halved particle arrays, plus an overflow flag.
+    table (nleaf, K) leaf indices -> (ft*nleaf, cap) source-block
+    indices into the (fs*nleaf, S/fs) blocked particle arrays (row =
+    target block), plus an overflow flag (some row kept > cap).
     """
     from jax import lax
 
-    n_leaf, s = tree.pos.shape[:2]
-    sh = s // 2
-    hpos = tree.pos.reshape(n_leaf * 2, sh, 3)
-    hmask = tree.mask.reshape(n_leaf * 2, sh)
-    big = jnp.asarray(jnp.finfo(tree.pos.dtype).max, tree.pos.dtype)
-    hmin = jnp.min(jnp.where(hmask[..., None], hpos, big), axis=1)
-    hmax = jnp.max(jnp.where(hmask[..., None], hpos, -big), axis=1)
-    hcount = jnp.sum(hmask, axis=1)
-    nonempty = (hcount > 0)[:, None]
-    hc = jnp.where(nonempty, 0.5 * (hmin + hmax), 0.0)
-    hw = jnp.where(nonempty, hmax - hmin, 0.0)
+    n_leaf = tree.pos.shape[0]
+    tc, twd, tcnt = _block_geometry(tree, ft)
+    sc, swd, scnt = _block_geometry(tree, fs)
 
-    # target leaf AABBs from the tree's leaf level
-    tc = tree.centers[-1]                               # (nleaf, 3)
-    tw = tree.widths[-1]
-
+    # candidate source blocks per TARGET block: the fs blocks of every
+    # leaf listed for its parent leaf (same candidates for all ft halves)
     k = table.shape[1]
     valid = table >= 0
     safe = jnp.maximum(table, 0)
-    cand = jnp.stack([2 * safe, 2 * safe + 1], axis=-1).reshape(n_leaf, 2 * k)
-    cvalid = jnp.repeat(valid, 2, axis=1)
+    cand = (safe[:, :, None] * fs
+            + jnp.arange(fs, dtype=table.dtype)).reshape(n_leaf, fs * k)
+    cand = jnp.repeat(cand, ft, axis=0)                  # (ft*nleaf, fs*k)
+    cvalid = jnp.repeat(jnp.repeat(valid, fs, axis=1), ft, axis=0)
 
     gap2 = 0.0
     for ax in range(3):
-        d = tc[:, None, ax] - hc[:, ax][cand]
+        d = tc[:, None, ax] - sc[:, ax][cand]
         if boxsize is not None:
             d = d - boxsize * jnp.round(d * (1.0 / boxsize))
         g = jnp.maximum(jnp.abs(d)
-                        - 0.5 * (tw[:, None, ax] + hw[:, ax][cand]), 0.0)
+                        - 0.5 * (twd[:, None, ax] + swd[:, ax][cand]), 0.0)
         gap2 = gap2 + g * g
-    keep = cvalid & (hcount[cand] > 0) & (gap2 < cutoff * cutoff)
+    keep = (cvalid & (scnt[cand] > 0) & (tcnt[:, None] > 0)
+            & (gap2 < cutoff * cutoff))
 
     key = jnp.where(keep, 0, 1).astype(jnp.int32)
     vals = jnp.where(keep, cand, -1).astype(jnp.int32)
@@ -173,6 +195,11 @@ def halve_table(tree, table, cutoff: float, boxsize, cap: int):
                          num_keys=1)
     counts = jnp.sum(keep, axis=1)
     return packed[:, :cap], jnp.any(counts > cap)
+
+
+def halve_table(tree, table, cutoff: float, boxsize, cap: int):
+    """Half-leaf refinement on both sides (refine_table at ft=fs=2)."""
+    return refine_table(tree, table, cutoff, boxsize, cap, ft=2, fs=2)
 
 
 # ---------------------------------------------------------------------------
@@ -285,37 +312,50 @@ def p2p_redundant(planes, masses, src_planes, src_mass, *, eps: float,
 # indexing layout (kernel in p2p_pallas_indexing.py)
 # ---------------------------------------------------------------------------
 
+def _leaf_blocks(planes, masses, f: int):
+    """Split (nleaf, 3, S) planes + (nleaf, S) masses into the f
+    SFC-order blocks per leaf: ((f*nleaf, 3, S/f), (f*nleaf, S/f))."""
+    n_leaf, _, s = planes.shape
+    w = s // f
+    bp = jnp.moveaxis(planes.reshape(n_leaf, 3, f, w), 2, 1)
+    return bp.reshape(n_leaf * f, 3, w), masses.reshape(n_leaf * f, w)
+
+
 def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
                  boxsize: Optional[float], interpret: Optional[bool] = None,
-                 half: bool = False):
+                 refine: Optional[tuple] = None):
     """Gather-through-the-index kernel: source blocks DMA'd from HBM inside
     the kernel through the neighbor table (no data duplication).
 
     planes (nleaf, 3, S), masses (nleaf, S), table (nleaf, K) ->
     (nleaf, 3, S) accelerations.
 
-    ``half``: the table holds HALF-leaf block indices (from
-    :func:`halve_table`); sources are DMA'd as (3, S/2) blocks -- the
-    cutoff-culled fine-granularity stream.
+    ``refine``: optional (ft, fs) -- the table holds sub-leaf source
+    block indices (from :func:`refine_table`, shape (ft*nleaf, K)); the
+    kernel then runs one grid row per TARGET BLOCK with (S/ft, S/fs)
+    tiles -- the cutoff-culled fine-granularity stream, sources at full
+    128-lane width.
     """
     from photons_tpu.ops.p2p_pallas_indexing import (
         p2p_indexing_rows, pack_combined_rows)
 
     n_leaf, _, s = planes.shape
+    interp = _interpret_default() if interpret is None else interpret
+    if refine is not None:
+        ft, fs = refine
+        st, ss = s // ft, s // fs
+        tp, tm = _leaf_blocks(planes, masses, ft)
+        sp, sm = (tp, tm) if fs == ft else _leaf_blocks(planes, masses, fs)
+        rows = p2p_indexing_rows(
+            pack_combined_rows(tp, tm), table, st, eps=eps, rs=rs,
+            boxsize=boxsize, pair_tile=_pair_force_tile, interpret=interp,
+            combined_src=pack_combined_rows(sp, sm), s_src=ss)
+        acc = rows[:, :3 * st].reshape(n_leaf, ft, 3, st)
+        return jnp.moveaxis(acc, 1, 2).reshape(n_leaf, 3, s)
     combined = pack_combined_rows(planes, masses)
-    kw = {}
-    if half:
-        sh = s // 2
-        hplanes = jnp.moveaxis(
-            planes.reshape(n_leaf, 3, 2, sh), 2, 1).reshape(n_leaf * 2, 3, sh)
-        hmasses = masses.reshape(n_leaf * 2, sh)
-        kw = dict(combined_src=pack_combined_rows(hplanes, hmasses),
-                  s_src=sh)
     rows = p2p_indexing_rows(
         combined, table, s, eps=eps, rs=rs, boxsize=boxsize,
-        pair_tile=_pair_force_tile,
-        interpret=_interpret_default() if interpret is None else interpret,
-        **kw)
+        pair_tile=_pair_force_tile, interpret=interp)
     return rows[:, :3 * s].reshape(n_leaf, 3, s)
 
 
@@ -363,18 +403,22 @@ def p2p_prepare(tree, lists, mass: float,
             # inactive rows: empty the table row (entries -1 -> the kernel
             # masks the sources; row DMA still runs but computes nothing)
             table = jnp.where(leaf_active[:, None], table, -1)
-        half = cutoff is not None and s >= 2 * LANES
-        if half:
-            # half-leaf source refinement: cull out-of-cutoff halves (the
-            # candidate count 2K is the cap, so no new truncation)
-            table, _ = halve_table(tree, table, cutoff, boxsize,
-                                   cap=2 * table.shape[1])
+        refine = None
+        if cutoff is not None and s >= 2 * LANES:
+            # sub-leaf block refinement: cull out-of-cutoff (target,
+            # source) block pairs on tight AABBs.  Sources stay 128-lane
+            # blocks; targets shrink to the REFINE_TARGET sublane factor.
+            # cap = fs*K keeps every candidate, so no new truncation.
+            ft, fs = s // REFINE_TARGET, s // REFINE_SOURCE
+            table, _ = refine_table(tree, table, cutoff, boxsize,
+                                    cap=fs * table.shape[1], ft=ft, fs=fs)
+            refine = (ft, fs)
         # lane-align the table row (SMEM DMA granularity: 128 int32 = 512 B)
         k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
         if k_pad:
             table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
         return {"layout": layout, "planes": planes, "masses": masses,
-                "table": table, "overflow": overflow, "half": half}
+                "table": table, "overflow": overflow, "refine": refine}
     raise ValueError(f"unknown P2P layout {layout!r}")
 
 
@@ -394,7 +438,7 @@ def p2p_compute(prepared, eps: float, rs: Optional[float],
         acc = p2p_indexing(prepared["planes"], prepared["masses"],
                            prepared["table"], eps=eps, rs=rs,
                            boxsize=boxsize, interpret=interpret,
-                           half=prepared.get("half", False))
+                           refine=prepared.get("refine"))
     return jnp.moveaxis(acc, 1, -1)                     # (nleaf, S, 3)
 
 
@@ -409,8 +453,8 @@ def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
     split out so the phase profiler can time collect vs kernel separately,
     the reference's dtime_p2p_collect / dtime_p2p_self distinction).
 
-    ``cutoff``: enables half-leaf source culling for the indexing layout
-    when S >= 256 (see halve_table).
+    ``cutoff``: enables sub-leaf block culling for the indexing layout
+    when S >= 256 (see refine_table).
     """
     prepared = p2p_prepare(tree, lists, mass, boxsize, layout=layout,
                            neighbor_cap=neighbor_cap,

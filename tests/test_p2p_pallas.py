@@ -97,8 +97,9 @@ def test_indexing_half_leaf_culling():
 
 
 def test_halve_table_culls_and_covers():
-    """halve_table: every kept half is within cutoff of the target AABB;
-    every culled half is beyond it; indices address the halved layout."""
+    """halve_table: one row per TARGET HALF; kept source halves come from
+    the parent leaf's listed sources; tight-AABB culling removes a
+    meaningful fraction of the (half, half) block pairs."""
     from photons_tpu.ops.p2p_pallas import halve_table
     from photons_tpu.ops.traversal import dual_tree_traversal
     from photons_tpu.tree.build import build_tree
@@ -117,13 +118,19 @@ def test_halve_table_culls_and_covers():
     h = np.asarray(half)
     t = np.asarray(lists.p2p)
     n_leaf = tree.n_leaf
+    assert h.shape[0] == 2 * n_leaf
     assert h.min() >= -1 and h.max() < 2 * n_leaf
-    # kept halves must come from listed leaves, and some culling happened
-    for row in range(min(4, n_leaf)):
+    # kept halves must come from the parent leaf's listed leaves
+    for row in range(min(8, 2 * n_leaf)):
         kept_leaves = set((h[row][h[row] >= 0] // 2).tolist())
-        listed = set(t[row][t[row] >= 0].tolist())
+        listed = set(t[row // 2][t[row // 2] >= 0].tolist())
         assert kept_leaves <= listed
-    assert (h >= 0).sum() < 2 * (t >= 0).sum()          # culled something
+    # every target half keeps its own two halves (self-interaction)
+    for row in range(2 * n_leaf):
+        kept = set(h[row][h[row] >= 0].tolist())
+        assert {2 * (row // 2), 2 * (row // 2) + 1} <= kept
+    # the (half, half) pair volume shrank vs the leaf-pair volume
+    assert (h >= 0).sum() < 4 * (t >= 0).sum()          # culled something
 
 
 def test_pallas_s128_tile_path():
