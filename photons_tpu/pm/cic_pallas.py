@@ -55,6 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 HALO = 4        # cells of periodic margin on each face (CIC reaches 1)
 
+# MXU passes for the f32 brick contractions: HIGHEST = 6-pass bf16
+# emulation (exact f32), HIGH = 3-pass (~1e-7 relative, plenty for CIC
+# weights in [0,1] against a 1e-4 PM force budget).  Env-switchable for
+# A/B timing on hardware.
+import os as _os
+_DOT_PRECISION = getattr(
+    jax.lax.Precision,
+    _os.environ.get("PHOTONS_CIC_PRECISION", "HIGHEST").upper(),
+    jax.lax.Precision.HIGHEST)
+
 
 def effective_tile(n_side: int, tile: int) -> int:
     """Clamp the brick tile to the padded mesh (small test meshes)."""
@@ -145,7 +155,7 @@ def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
     # (t*t, npz) = sum_s xy[s, :] (x) wz[s, :] -- one MXU contraction
     add = jax.lax.dot_general(xy, wz, _DN_CONTRACT_0,
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=_DOT_PRECISION)
     cp_in.wait()
     for r in range(t):                       # row-sliced: no 3-D reshape
         brick[r] += add[r * t:(r + 1) * t, :].astype(brick.dtype)
@@ -245,7 +255,7 @@ def _read_kernel(origins, px_ref, py_ref, pz_ref, g_ref,
     flat = jnp.concatenate([bricks[slot, r] for r in range(t)], axis=0)
     cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_DOT_PRECISION)
     for c in range(3):
         seg = cz[:, c * npz:(c + 1) * npz]
         out_ref[0, c, :] = jnp.sum(seg * wz, axis=1).astype(out_ref.dtype)
