@@ -413,8 +413,10 @@ def p2p_prepare(tree, lists, mass: float,
             table, _ = refine_table(tree, table, cutoff, boxsize,
                                     cap=fs * table.shape[1], ft=ft, fs=fs)
             refine = (ft, fs)
-        # lane-align the table row (SMEM DMA granularity: 128 int32 = 512 B)
-        k_pad = -(-table.shape[1] // LANES) * LANES - table.shape[1]
+        # pad the table row so that [count | entries] lane-aligns (SMEM
+        # DMA granularity: 128 int32 = 512 B; the kernel embeds the
+        # per-row count as element 0)
+        k_pad = -(-(table.shape[1] + 1) // LANES) * LANES - 1 - table.shape[1]
         if k_pad:
             table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
         return {"layout": layout, "planes": planes, "masses": masses,

@@ -8,10 +8,13 @@ source blocks through the index at compute time -- **no data duplication**
 
 Scalability note: the neighbor table is O(total tasks) and therefore kept
 in HBM, NOT scalar-prefetched (SMEM is ~1 MB; a 256^3 run's table is tens
-of MB).  Each program first DMAs its own table row HBM -> SMEM scratch,
-then runs a double-buffered gather loop of combined [x | y | z | m] rows
-(HBM -> VMEM, one 512-byte aligned DMA per neighbor leaf), computing the
-(S x S) interaction tile while the next block is in flight.
+of MB -- and even the per-row COUNTS vector alone overflows SMEM at
+sub-leaf refinement row counts, so the count is embedded as element 0 of
+each row instead of prefetched).  Each program first DMAs its own table
+row HBM -> SMEM scratch, then runs a double-buffered gather loop of
+combined [x | y | z | m] rows (HBM -> VMEM, one 512-byte aligned DMA per
+neighbor leaf), computing the (S x S) interaction tile while the next
+block is in flight.
 
 Data layout: ``combined`` (n_leaf, W) float rows with W = ceil(4*S/128)*128
 -- x in [0,S), y in [S,2S), z in [2S,3S), mass in [3S,4S), zero padding to
@@ -44,21 +47,24 @@ def pack_combined_rows(planes, masses):
     return jnp.pad(flat, ((0, 0), (0, w - 4 * s)))
 
 
-def _indexing_kernel(cnt_ref, tgt_ref, table_hbm, combined_hbm, out_ref,
+def _indexing_kernel(tgt_ref, table_hbm, combined_hbm, out_ref,
                      row_smem, src_buf, sems, tsem, *,
                      eps, rs, boxsize, s, s_src, pair_tile):
     i = pl.program_id(0)
-    count = cnt_ref[i]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)  # (1, 1, W)
 
-    # own neighbor-table row page (1, K): HBM -> SMEM
+    # own neighbor-table row page (1, 1+K): HBM -> SMEM.  Element 0 is
+    # the row's partner count (embedded, not scalar-prefetched: the
+    # counts vector alone is rows*4 bytes -- over the 1 MB SMEM budget at
+    # refined-row counts), entries follow from element 1.
     trow = pltpu.make_async_copy(table_hbm.at[i], row_smem, tsem)
     trow.start()
     trow.wait()
+    count = row_smem[0, 0]
 
     def fetch(slot, k):
         return pltpu.make_async_copy(
-            combined_hbm.at[row_smem[0, k]], src_buf.at[slot],
+            combined_hbm.at[row_smem[0, 1 + k]], src_buf.at[slot],
             sems.at[slot])
 
     @pl.when(count > 0)
@@ -107,37 +113,36 @@ def p2p_indexing_rows(combined, table, s: int, *, eps: float,
     if combined_src is None:
         combined_src, s_src = combined, s
     w_src = combined_src.shape[1]
-    k_cap = table.shape[1]
     counts = jnp.sum(table >= 0, axis=1).astype(jnp.int32)
-    safe_table = jnp.where(table >= 0, table, 0)
+    safe_table = jnp.where(table >= 0, table, 0).astype(jnp.int32)
+    # row layout [count | entries | 0-pad] to the SMEM DMA lane granule
+    aug = jnp.concatenate([counts[:, None], safe_table], axis=1)
+    k_row = -(-aug.shape[1] // LANES) * LANES
+    if k_row != aug.shape[1]:
+        aug = jnp.pad(aug, ((0, 0), (0, k_row - aug.shape[1])))
 
     kernel = partial(_indexing_kernel, eps=eps, rs=rs, boxsize=boxsize,
                      s=s, s_src=s_src, pair_tile=pair_tile)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                     # counts only (n_leaf ints)
+    out = pl.pallas_call(
+        kernel,
         grid=(n_leaf,),
         in_specs=[
             # rows wrapped as (nleaf, 1, W) pages: (1, 1, W) blocks satisfy
             # the (sublane, lane) tiling rule via dim equality
-            pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
+            pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # neighbor table
             pl.BlockSpec(memory_space=pltpu.HBM),  # combined source rows
         ],
-        out_specs=pl.BlockSpec((1, 1, w), lambda i, cnt: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((1, k_cap), jnp.int32),     # own table-row page
+            pltpu.SMEM((1, k_row), jnp.int32),     # own table-row page
             pltpu.VMEM((2, 1, w_src), combined_src.dtype),  # dbl-buffered src
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_leaf, 1, w), combined.dtype),
         interpret=interpret,
-    )(counts, combined[:, None, :], safe_table[:, None, :],
-      combined_src[:, None, :])
+    )(combined[:, None, :], aug[:, None, :], combined_src[:, None, :])
     return out[:, 0, :]
