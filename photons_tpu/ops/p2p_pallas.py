@@ -117,7 +117,11 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
     return table[:n_leaf], overflow
 
 
-REFINE_TARGET = 64       # target block width (sublane factor of the tile)
+# target block width (sublane factor of the tile): smaller culls more
+# pair volume but pays more per-row/per-block overhead; env-overridable
+# for hardware A/B (PHOTONS_REFINE_TARGET=128|64|32, 0 disables refine)
+import os as _os
+REFINE_TARGET = int(_os.environ.get("PHOTONS_REFINE_TARGET", "64"))
 REFINE_SOURCE = 128      # source block width (must fill the 128 lanes)
 
 
@@ -178,15 +182,22 @@ def refine_table(tree, table, cutoff: float, boxsize, cap: int,
     cand = jnp.repeat(cand, ft, axis=0)                  # (ft*nleaf, fs*k)
     cvalid = jnp.repeat(jnp.repeat(valid, fs, axis=1), ft, axis=0)
 
+    # ONE row gather of packed source-block geometry (centers, widths,
+    # count) instead of seven scalar gathers through cand -- TPU gathers
+    # are per-row, so packing the lanes is ~7x cheaper
+    geom = jnp.concatenate(
+        [sc, swd, (scnt > 0).astype(sc.dtype)[:, None]], axis=1)
+    g8 = jnp.take(geom, cand, axis=0)        # (ft*nleaf, fs*k, 7)
+
     gap2 = 0.0
     for ax in range(3):
-        d = tc[:, None, ax] - sc[:, ax][cand]
+        d = tc[:, None, ax] - g8[:, :, ax]
         if boxsize is not None:
             d = d - boxsize * jnp.round(d * (1.0 / boxsize))
         g = jnp.maximum(jnp.abs(d)
-                        - 0.5 * (twd[:, None, ax] + swd[:, ax][cand]), 0.0)
+                        - 0.5 * (twd[:, None, ax] + g8[:, :, 3 + ax]), 0.0)
         gap2 = gap2 + g * g
-    keep = (cvalid & (scnt[cand] > 0) & (tcnt[:, None] > 0)
+    keep = (cvalid & (g8[:, :, 6] > 0) & (tcnt[:, None] > 0)
             & (gap2 < cutoff * cutoff))
 
     key = jnp.where(keep, 0, 1).astype(jnp.int32)
@@ -404,7 +415,7 @@ def p2p_prepare(tree, lists, mass: float,
             # masks the sources; row DMA still runs but computes nothing)
             table = jnp.where(leaf_active[:, None], table, -1)
         refine = None
-        if cutoff is not None and s >= 2 * LANES:
+        if cutoff is not None and s >= 2 * LANES and REFINE_TARGET > 0:
             # sub-leaf block refinement: cull out-of-cutoff (target,
             # source) block pairs on tight AABBs.  Sources stay 128-lane
             # blocks; targets shrink to the REFINE_TARGET sublane factor.

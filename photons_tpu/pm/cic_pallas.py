@@ -56,9 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 4        # cells of periodic margin on each face (CIC reaches 1)
 
 # MXU passes for the f32 brick contractions: HIGHEST = 6-pass bf16
-# emulation (exact f32), HIGH = 3-pass (~1e-7 relative, plenty for CIC
-# weights in [0,1] against a 1e-4 PM force budget).  Env-switchable for
-# A/B timing on hardware.
+# emulation (exact f32); DEFAULT = single-pass bf16 (Mosaic's Pallas
+# lowering supports only these two).  Env-switchable for A/B timing on
+# hardware; DEFAULT needs an accuracy gate before adoption (bf16-rounded
+# CIC weights cost ~2e-3 relative on the PM component).
 import os as _os
 _DOT_PRECISION = getattr(
     jax.lax.Precision,
