@@ -182,22 +182,19 @@ def refine_table(tree, table, cutoff: float, boxsize, cap: int,
     cand = jnp.repeat(cand, ft, axis=0)                  # (ft*nleaf, fs*k)
     cvalid = jnp.repeat(jnp.repeat(valid, fs, axis=1), ft, axis=0)
 
-    # ONE row gather of packed source-block geometry (centers, widths,
-    # count) instead of seven scalar gathers through cand -- TPU gathers
-    # are per-row, so packing the lanes is ~7x cheaper
-    geom = jnp.concatenate(
-        [sc, swd, (scnt > 0).astype(sc.dtype)[:, None]], axis=1)
-    g8 = jnp.take(geom, cand, axis=0)        # (ft*nleaf, fs*k, 7)
-
+    # per-axis scalar gathers: each produces a 2-D (rows, fs*k) f32 array
+    # with full-lane minor dim.  (A single packed (rows*cols, 7) row
+    # gather is NOT cheaper here: the 7-wide minor dim lane-pads to 128
+    # on TPU -- an 18x memory blowup, 24 GB at 256^3.)
     gap2 = 0.0
     for ax in range(3):
-        d = tc[:, None, ax] - g8[:, :, ax]
+        d = tc[:, None, ax] - sc[:, ax][cand]
         if boxsize is not None:
             d = d - boxsize * jnp.round(d * (1.0 / boxsize))
         g = jnp.maximum(jnp.abs(d)
-                        - 0.5 * (twd[:, None, ax] + g8[:, :, 3 + ax]), 0.0)
+                        - 0.5 * (twd[:, None, ax] + swd[:, ax][cand]), 0.0)
         gap2 = gap2 + g * g
-    keep = (cvalid & (g8[:, :, 6] > 0) & (tcnt[:, None] > 0)
+    keep = (cvalid & (scnt[cand] > 0) & (tcnt[:, None] > 0)
             & (gap2 < cutoff * cutoff))
 
     key = jnp.where(keep, 0, 1).astype(jnp.int32)
