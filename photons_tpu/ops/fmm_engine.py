@@ -151,9 +151,18 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
     rs = cfg.split_radius if cfg.longshort else None
     box = cfg.boxsize if cfg.periodic else None
 
-    locals_per_level = apply_m2l(tree, lists, rs, box)
-    locals_per_level = downward_l2l(tree, locals_per_level)
-    acc_leaf = leaf_l2p(tree, locals_per_level[-1])
+    # The M2L -> L2L -> L2P chain runs only when the traversal emitted
+    # any M2L task.  In the uniform TreePM regime the MAC accept is
+    # geometrically impossible (BENCH_NOTES: needs theta > 1.1) and
+    # n_m2l == 0 for the whole early run -- the cond skips ~0.3 s/step
+    # of cap-padded batch evaluation until clustering activates it.
+    def _with_m2l(_):
+        lpl = apply_m2l(tree, lists, rs, box)
+        lpl = downward_l2l(tree, lpl)
+        return leaf_l2p(tree, lpl[-1])
+
+    acc_leaf = jax.lax.cond(sum(lists.m2l_counts) > 0, _with_m2l,
+                            lambda _: jnp.zeros_like(tree.pos), None)
 
     nbr_overflow = jnp.asarray(False)
     if p2p_backend == "jnp":

@@ -118,10 +118,14 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
 
 
 # target block width (sublane factor of the tile): smaller culls more
-# pair volume but pays more per-row/per-block overhead; env-overridable
-# for hardware A/B (PHOTONS_REFINE_TARGET=128|64|32, 0 disables refine)
+# pair volume but pays more per-row/per-block overhead.  Measured at
+# 256^3/S=256 on a v5e: RT=64 LOSES 3.4 s/step net (the kept-block DMA
+# count explodes 3M -> 18M and per-copy overhead eats the 0.556x volume
+# cut), so refinement is OFF by default until the gather loop can batch
+# adjacent kept blocks into one DMA.  Env-overridable for hardware A/B
+# (PHOTONS_REFINE_TARGET=128|64|32, 0 disables).
 import os as _os
-REFINE_TARGET = int(_os.environ.get("PHOTONS_REFINE_TARGET", "64"))
+REFINE_TARGET = int(_os.environ.get("PHOTONS_REFINE_TARGET", "0"))
 REFINE_SOURCE = 128      # source block width (must fill the 128 lanes)
 
 

@@ -23,4 +23,19 @@ dev = np.abs(acc - ref).max() / rms
 print(f"TPU smoke: refine-indexing vs jnp max/rms {dev:.3e}, "
       f"pm finite {np.isfinite(acc_pm).all()}, overflow {int(diag['overflow'])}")
 assert dev < 2e-3 and np.isfinite(acc_pm).all()
+
+# PM parity: the Pallas tree-riding CIC (at the active PHOTONS_CIC_-
+# PRECISION) against the XLA scatter/gather CIC -- the accuracy gate
+# for the bf16 contraction A/B
+from photons_tpu.pm.solver import pm_accel
+pm_x = np.asarray(jax.jit(
+    lambda p: pm_accel(p, gf, mass=cfg.particle_mass, boxsize=cfg.boxsize,
+                       n_side=cfg.n_side))(pos))
+pm_rms = float(np.sqrt((pm_x ** 2).sum(-1)).mean())
+pm_dev_rms = float(np.sqrt(((acc_pm - pm_x) ** 2).mean())) * np.sqrt(3) / pm_rms
+pm_dev_max = float(np.abs(acc_pm - pm_x).max()) / pm_rms
+tot_rms = float(np.sqrt(((ref + pm_x) ** 2).sum(-1)).mean())
+print(f"TPU smoke: pallas-CIC vs XLA-CIC pm rel rms {pm_dev_rms:.3e} "
+      f"max {pm_dev_max:.3e} (pm rms / total rms {pm_rms / tot_rms:.2f})")
+assert pm_dev_rms < 5e-3
 print("TPU smoke OK")

@@ -75,12 +75,16 @@ def test_pallas_uneven_leaf_occupancy():
         assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
 
 
-def test_indexing_subleaf_refine():
+def test_indexing_subleaf_refine(monkeypatch):
     """S=256 flagship tile: the indexing layout refines to cutoff-culled
     (target, source) sub-leaf blocks (refine_table, 64x128).  Must agree
     with the jnp path up to the erfc tail of the culled out-of-cutoff
     blocks (the traversal's own leaf-granularity discard has the same
-    semantics)."""
+    semantics).  Refinement is off by default (loses on DMA-count
+    overhead at 256^3 -- see p2p_pallas.REFINE_TARGET); forced on here
+    to keep the path verified."""
+    import photons_tpu.ops.p2p_pallas as pp
+    monkeypatch.setattr(pp, "REFINE_TARGET", 64)
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096, dtype="float64",
                     leaf_size=256, open_cap_per_node=128,
                     p2p_neighbor_cap=96)
