@@ -121,12 +121,23 @@ def neighbor_table(pairs, n_leaf: int, cap: int):
 # pair volume but pays more per-row/per-block overhead.  Measured at
 # 256^3/S=256 on a v5e: RT=64 LOSES 3.4 s/step net (the kept-block DMA
 # count explodes 3M -> 18M and per-copy overhead eats the 0.556x volume
-# cut), so refinement is OFF by default until the gather loop can batch
-# adjacent kept blocks into one DMA.  Env-overridable for hardware A/B
+# cut), so the row-refined layout is OFF by default; the default cull is
+# the QUAD mode below, which keeps one DMA per leaf pair and skips
+# sub-tiles at compute time.  Env-overridable for hardware A/B
 # (PHOTONS_REFINE_TARGET=128|64|32, 0 disables).
 import os as _os
 REFINE_TARGET = int(_os.environ.get("PHOTONS_REFINE_TARGET", "0"))
 REFINE_SOURCE = 128      # source block width (must fill the 128 lanes)
+
+# QUAD sub-tile culling (quad_masks): "ft,fs" target x source blocks per
+# leaf-pair tile, mask-gated at compute time with full-leaf DMAs.
+# Also measured a net LOSS at 256^3/S=256 (13.3 vs 8.4 s/step: the 8
+# per-block pl.when sub-tiles and their vector-slice relayouts cost more
+# than the 0.556x compute cut), so OFF by default; both cull layouts
+# stay env-gated for future hardware.  "0" disables.
+_quad_env = _os.environ.get("PHOTONS_P2P_QUAD", "0")
+P2P_QUAD = (tuple(int(x) for x in _quad_env.split(","))
+            if _quad_env not in ("0", "") else None)
 
 
 def _block_geometry(tree, f: int):
@@ -201,17 +212,79 @@ def refine_table(tree, table, cutoff: float, boxsize, cap: int,
     keep = (cvalid & (scnt[cand] > 0) & (tcnt[:, None] > 0)
             & (gap2 < cutoff * cutoff))
 
-    key = jnp.where(keep, 0, 1).astype(jnp.int32)
-    vals = jnp.where(keep, cand, -1).astype(jnp.int32)
-    _, packed = lax.sort((key, vals), dimension=1, is_stable=True,
-                         num_keys=1)
+    big = jnp.iinfo(jnp.int32).max
+    keyed = jnp.where(keep, cand.astype(jnp.int32), big)
+    packed = lax.sort(keyed, dimension=1)[:, :cap]
+    packed = jnp.where(packed == big, -1, packed)
     counts = jnp.sum(keep, axis=1)
-    return packed[:, :cap], jnp.any(counts > cap)
+    return packed, jnp.any(counts > cap)
 
 
 def halve_table(tree, table, cutoff: float, boxsize, cap: int):
     """Half-leaf refinement on both sides (refine_table at ft=fs=2)."""
     return refine_table(tree, table, cutoff, boxsize, cap, ft=2, fs=2)
+
+
+def quad_masks(tree, table, cutoff: float, boxsize, ft: int = 4,
+               fs: int = 2):
+    """Sub-tile cull masks at full-leaf DMA granularity.
+
+    For every (target leaf, listed source leaf) pair, an ft*fs-bit mask
+    whose bit (ti*fs + sj) says target block ti and source block sj are
+    within the cutoff of each other (tight particle AABBs).  The kernel
+    keeps ONE combined-row DMA per leaf pair -- the refine_table layout
+    instead multiplied the DMA count by ~6x, which cost more than its
+    0.556x compute cut (BENCH_NOTES) -- and gates each (S/ft x S/fs)
+    sub-tile on its bit, skipping the same out-of-range corner volume at
+    compute time only.
+
+    Returns (table', masks) both (nleaf, K): entries whose mask is zero
+    are dropped and rows re-packed (table' <= table).
+    """
+    from jax import lax
+
+    n_leaf = tree.pos.shape[0]
+    tc, twd, tcnt = _block_geometry(tree, ft)    # (ft*nleaf, ...)
+    sc, swd, scnt = _block_geometry(tree, fs)
+
+    k = table.shape[1]
+    valid = table >= 0
+    safe = jnp.maximum(table, 0)
+
+    # target-side geometry needs no gather (pure reshape/slice); source
+    # gathers are hoisted out of the target loop: fs * 7 row gathers total
+    tcr = tc.reshape(n_leaf, ft, 3)
+    twr = twd.reshape(n_leaf, ft, 3)
+    tcn = tcnt.reshape(n_leaf, ft)
+
+    mask = jnp.zeros((n_leaf, k), jnp.int32)
+    for sj in range(fs):
+        cand = safe * fs + sj                    # (nleaf, k) source blocks
+        sg = [sc[:, ax][cand] for ax in range(3)]
+        sw = [swd[:, ax][cand] for ax in range(3)]
+        scn = scnt[cand] > 0
+        for ti in range(ft):
+            gap2 = 0.0
+            for ax in range(3):
+                d = tcr[:, ti, ax][:, None] - sg[ax]
+                if boxsize is not None:
+                    d = d - boxsize * jnp.round(d * (1.0 / boxsize))
+                g = jnp.maximum(
+                    jnp.abs(d) - 0.5 * (twr[:, ti, ax][:, None] + sw[ax]),
+                    0.0)
+                gap2 = gap2 + g * g
+            hit = (valid & (gap2 < cutoff * cutoff)
+                   & scn & (tcn[:, ti] > 0)[:, None])
+            mask = mask | (hit.astype(jnp.int32) << (ti * fs + sj))
+
+    # drop entries whose mask is empty (whole tile out of range on tight
+    # bounds); paired stable sort keeps (entry, mask) columns aligned
+    keep = mask > 0
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    ent = jnp.where(keep, safe, -1).astype(jnp.int32)
+    _, packed_e, packed_m = lax.sort(
+        (key, ent, mask), dimension=1, is_stable=True, num_keys=1)
+    return packed_e, packed_m
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +408,8 @@ def _leaf_blocks(planes, masses, f: int):
 
 def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
                  boxsize: Optional[float], interpret: Optional[bool] = None,
-                 refine: Optional[tuple] = None):
+                 refine: Optional[tuple] = None,
+                 quad: Optional[tuple] = None, masks=None):
     """Gather-through-the-index kernel: source blocks DMA'd from HBM inside
     the kernel through the neighbor table (no data duplication).
 
@@ -367,7 +441,8 @@ def p2p_indexing(planes, masses, table, *, eps: float, rs: Optional[float],
     combined = pack_combined_rows(planes, masses)
     rows = p2p_indexing_rows(
         combined, table, s, eps=eps, rs=rs, boxsize=boxsize,
-        pair_tile=_pair_force_tile, interpret=interp)
+        pair_tile=_pair_force_tile, interpret=interp,
+        quad=quad, masks=masks)
     return rows[:, :3 * s].reshape(n_leaf, 3, s)
 
 
@@ -415,24 +490,37 @@ def p2p_prepare(tree, lists, mass: float,
             # inactive rows: empty the table row (entries -1 -> the kernel
             # masks the sources; row DMA still runs but computes nothing)
             table = jnp.where(leaf_active[:, None], table, -1)
-        refine = None
-        if cutoff is not None and s >= 2 * LANES and REFINE_TARGET > 0:
-            # sub-leaf block refinement: cull out-of-cutoff (target,
-            # source) block pairs on tight AABBs.  Sources stay 128-lane
-            # blocks; targets shrink to the REFINE_TARGET sublane factor.
-            # cap = fs*K keeps every candidate, so no new truncation.
-            ft, fs = s // REFINE_TARGET, s // REFINE_SOURCE
-            table, _ = refine_table(tree, table, cutoff, boxsize,
-                                    cap=fs * table.shape[1], ft=ft, fs=fs)
-            refine = (ft, fs)
-        # pad the table row so that [count | entries] lane-aligns (SMEM
-        # DMA granularity: 128 int32 = 512 B; the kernel embeds the
-        # per-row count as element 0)
-        k_pad = -(-(table.shape[1] + 1) // LANES) * LANES - 1 - table.shape[1]
-        if k_pad:
-            table = jnp.pad(table, ((0, 0), (0, k_pad)), constant_values=-1)
+        refine = quad = masks = None
+        if cutoff is not None and s >= 2 * LANES:
+            if REFINE_TARGET > 0:
+                # row-refined layout (A/B only -- loses on DMA count):
+                # sources stay 128-lane blocks; targets shrink to the
+                # REFINE_TARGET sublane factor.  cap = fs*K keeps every
+                # candidate, so no new truncation.
+                ft, fs = s // REFINE_TARGET, s // REFINE_SOURCE
+                table, _ = refine_table(tree, table, cutoff, boxsize,
+                                        cap=fs * table.shape[1],
+                                        ft=ft, fs=fs)
+                refine = (ft, fs)
+            elif P2P_QUAD is not None:
+                # default cull: full-leaf DMAs, mask-gated sub-tiles
+                quad = P2P_QUAD
+                table, masks = quad_masks(tree, table, cutoff, boxsize,
+                                          ft=quad[0], fs=quad[1])
+        if quad is None:
+            # pad the table row so that [count | entries] lane-aligns
+            # (SMEM DMA granularity: 128 int32 = 512 B; the kernel embeds
+            # the per-row count as element 0).  In quad mode the row is
+            # [count | entries | masks] -- odd total, so the rows helper's
+            # final zero-pad handles alignment.
+            k_pad = (-(-(table.shape[1] + 1) // LANES) * LANES
+                     - 1 - table.shape[1])
+            if k_pad:
+                table = jnp.pad(table, ((0, 0), (0, k_pad)),
+                                constant_values=-1)
         return {"layout": layout, "planes": planes, "masses": masses,
-                "table": table, "overflow": overflow, "refine": refine}
+                "table": table, "overflow": overflow, "refine": refine,
+                "quad": quad, "masks": masks}
     raise ValueError(f"unknown P2P layout {layout!r}")
 
 
@@ -452,7 +540,9 @@ def p2p_compute(prepared, eps: float, rs: Optional[float],
         acc = p2p_indexing(prepared["planes"], prepared["masses"],
                            prepared["table"], eps=eps, rs=rs,
                            boxsize=boxsize, interpret=interpret,
-                           refine=prepared.get("refine"))
+                           refine=prepared.get("refine"),
+                           quad=prepared.get("quad"),
+                           masks=prepared.get("masks"))
     return jnp.moveaxis(acc, 1, -1)                     # (nleaf, S, 3)
 
 

@@ -49,14 +49,16 @@ def pack_combined_rows(planes, masses):
 
 def _indexing_kernel(tgt_ref, table_hbm, combined_hbm, out_ref,
                      row_smem, src_buf, sems, tsem, *,
-                     eps, rs, boxsize, s, s_src, pair_tile):
+                     eps, rs, boxsize, s, s_src, pair_tile,
+                     k_cap=0, quad=None):
     i = pl.program_id(0)
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)  # (1, 1, W)
 
-    # own neighbor-table row page (1, 1+K): HBM -> SMEM.  Element 0 is
-    # the row's partner count (embedded, not scalar-prefetched: the
+    # own neighbor-table row page (1, 1+K[+K]): HBM -> SMEM.  Element 0
+    # is the row's partner count (embedded, not scalar-prefetched: the
     # counts vector alone is rows*4 bytes -- over the 1 MB SMEM budget at
-    # refined-row counts), entries follow from element 1.
+    # refined-row counts), entries follow from element 1; in quad mode
+    # the per-entry sub-tile masks follow at [1+k_cap, 1+2*k_cap).
     trow = pltpu.make_async_copy(table_hbm.at[i], row_smem, tsem)
     trow.start()
     trow.wait()
@@ -74,6 +76,46 @@ def _indexing_kernel(tgt_ref, table_hbm, combined_hbm, out_ref,
         ty = tgt_ref[0, 0, s:2 * s]
         tz = tgt_ref[0, 0, 2 * s:3 * s]
         ss = s_src
+
+        if quad is not None:
+            # masked sub-tile mode: ONE source DMA per leaf pair, but the
+            # (s, ss) tile is evaluated as ft x fs blocks, each gated on
+            # its cull-mask bit (tight-AABB out-of-cutoff blocks skipped)
+            ft, fs = quad
+            st, sb = s // ft, ss // fs
+
+            def body(k, carry):
+                slot = k % 2
+
+                @pl.when(k + 1 < count)
+                def _():
+                    fetch((k + 1) % 2, k + 1).start()
+
+                fetch(slot, k).wait()
+                m = row_smem[0, 1 + k_cap + k]
+                for ti in range(ft):
+                    t0 = ti * st
+                    for sj in range(fs):
+                        @pl.when((m >> (ti * fs + sj)) & 1 != 0)
+                        def _(t0=t0, sj=sj):
+                            ax, ay, az = pair_tile(
+                                tx[t0:t0 + st], ty[t0:t0 + st],
+                                tz[t0:t0 + st],
+                                src_buf[slot, 0, sj * sb:(sj + 1) * sb],
+                                src_buf[slot, 0, ss + sj * sb:
+                                        ss + (sj + 1) * sb],
+                                src_buf[slot, 0, 2 * ss + sj * sb:
+                                        2 * ss + (sj + 1) * sb],
+                                src_buf[slot, 0, 3 * ss + sj * sb:
+                                        3 * ss + (sj + 1) * sb],
+                                eps, rs, boxsize)
+                            out_ref[0, 0, t0:t0 + st] += ax
+                            out_ref[0, 0, s + t0:s + t0 + st] += ay
+                            out_ref[0, 0, 2 * s + t0:2 * s + t0 + st] += az
+                return carry
+
+            jax.lax.fori_loop(0, count, body, 0)
+            return
 
         def body(k, acc):
             slot = k % 2
@@ -101,13 +143,18 @@ def _indexing_kernel(tgt_ref, table_hbm, combined_hbm, out_ref,
 def p2p_indexing_rows(combined, table, s: int, *, eps: float,
                       rs: Optional[float], boxsize: Optional[float],
                       pair_tile, interpret: bool, combined_src=None,
-                      s_src: Optional[int] = None):
+                      s_src: Optional[int] = None, masks=None,
+                      quad: Optional[tuple] = None):
     """Run the indexing kernel; returns acc rows (nleaf, W) [ax|ay|az|0].
 
     ``combined_src``/``s_src``: optional separate source-row array with a
-    different block width (half-leaf refinement, ``halve_table``); the
+    different block width (sub-leaf refinement, ``refine_table``); the
     table then indexes rows of ``combined_src``.  Default: sources are the
     target rows themselves (classic full-leaf indexing layout).
+
+    ``masks``/``quad``: per-entry sub-tile cull masks (``quad_masks``) --
+    the (s, s_src) tile is evaluated as quad=(ft, fs) blocks, each gated
+    on its mask bit.
     """
     n_leaf, w = combined.shape
     if combined_src is None:
@@ -115,14 +162,19 @@ def p2p_indexing_rows(combined, table, s: int, *, eps: float,
     w_src = combined_src.shape[1]
     counts = jnp.sum(table >= 0, axis=1).astype(jnp.int32)
     safe_table = jnp.where(table >= 0, table, 0).astype(jnp.int32)
-    # row layout [count | entries | 0-pad] to the SMEM DMA lane granule
-    aug = jnp.concatenate([counts[:, None], safe_table], axis=1)
+    # row layout [count | entries [| masks] | 0-pad] to the SMEM granule
+    k_cap = table.shape[1]
+    parts = [counts[:, None], safe_table]
+    if quad is not None:
+        parts.append(masks.astype(jnp.int32))
+    aug = jnp.concatenate(parts, axis=1)
     k_row = -(-aug.shape[1] // LANES) * LANES
     if k_row != aug.shape[1]:
         aug = jnp.pad(aug, ((0, 0), (0, k_row - aug.shape[1])))
 
     kernel = partial(_indexing_kernel, eps=eps, rs=rs, boxsize=boxsize,
-                     s=s, s_src=s_src, pair_tile=pair_tile)
+                     s=s, s_src=s_src, pair_tile=pair_tile,
+                     k_cap=k_cap, quad=quad)
     out = pl.pallas_call(
         kernel,
         grid=(n_leaf,),

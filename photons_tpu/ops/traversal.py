@@ -122,15 +122,19 @@ def _row_compact(vals, mask, cap: int):
     """Pack masked entries of each row to the front, truncated at ``cap``.
 
     vals/mask (R, K) -> packed (R, cap) with -1 padding, total count,
-    overflow flag.  One batched stable sort along the short row axis --
-    the TPU-friendly primitive (no scatter, no global cumsum).
+    overflow flag.  One batched SINGLE-ARRAY sort along the short row
+    axis -- the TPU-friendly primitive (no scatter, no global cumsum).
+    Invalid slots sort to the tail as INT32_MAX; within a row the kept
+    entries come out ascending (their order is irrelevant: every
+    consumer sums over the row).
     """
-    key = jnp.where(mask, 0, 1).astype(jnp.int32)
-    vals_m = jnp.where(mask, vals, -1).astype(jnp.int32)
-    _, packed = lax.sort((key, vals_m), dimension=1, is_stable=True,
-                         num_keys=1)
+    big = jnp.iinfo(jnp.int32).max
+    keyed = jnp.where(mask, vals.astype(jnp.int32), big)
+    packed = lax.sort(keyed, dimension=1)[:, :cap]
+    packed = jnp.where(packed == big, -1, packed)
     counts = jnp.sum(mask, axis=1)
-    return packed[:, :cap], jnp.sum(counts), jnp.any(counts > cap)
+    return (packed, jnp.sum(counts).astype(jnp.int32),
+            jnp.any(counts > cap))
 
 
 @partial(jax.jit, static_argnames=("theta", "cutoff", "boxsize",
@@ -238,7 +242,18 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
             accept = flags >= 0                     # force-accept leftovers
 
         kcand = cand.shape[1]
-        tbl, cnt, ovf = _row_compact(cand, accept, min(kcand, m2l_cap))
+        cap_d = min(kcand, m2l_cap)
+        # the compaction sort only runs on levels that accepted anything:
+        # in the uniform TreePM regime the MAC accept is geometrically
+        # impossible at every level (BENCH_NOTES), and the m2l-side sort
+        # was half the traversal's sort volume
+        tbl, cnt, ovf = lax.cond(
+            jnp.any(accept),
+            lambda args: _row_compact(*args, cap_d),
+            lambda args: (jnp.full((args[0].shape[0], cap_d), -1,
+                                   jnp.int32),
+                          jnp.zeros((), jnp.int32), jnp.asarray(False)),
+            (cand, accept))
         m2l_tables.append(tbl)
         m2l_counts.append(cnt)
         overflow |= ovf

@@ -30,12 +30,15 @@ entries are placed at wrapped cell indices), so the z extent is exactly
 n_side lanes -- at 256^3 this cuts the per-brick DMA + contraction width
 from 384 padded lanes to 256.
 
-Readout fuses the three gradient components into one lane-concatenated
-field (ONE brick DMA + ONE MXU contraction per leaf instead of three) and
-double-buffers the brick DMA across grid steps, so leaf i+1's fetch
-overlaps leaf i's contraction.  Paint stays single-buffered: consecutive
-Hilbert leaves touch overlapping bricks, so prefetching the next brick
-before the current read-modify-write lands would race.
+Readout double-buffers the brick DMA across gradient components AND grid
+steps, so every contraction overlaps the next fetch.  (Lane-fusing the
+three components into one (npx, npy, 3*npz) field would halve the DMA
+count further, but its (2, t, t, 3*npz) scratch exceeds the ~16 MB
+scoped-VMEM budget at t=32 when the kernel is co-scheduled inside the
+full step program -- measured compile failure at 256^3.)  Paint stays
+single-buffered: consecutive Hilbert leaves touch overlapping bricks, so
+prefetching the next brick before the current read-modify-write lands
+would race.
 
 Leaves whose AABB exceeds the T-cell brick (rare: underdense regions at
 late times) are detected and handled by the caller's XLA fallback on a
@@ -220,22 +223,23 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
     )(origins, px, py, pz, wts3, mesh0)
 
 
-def _read_kernel(origins, px_ref, py_ref, pz_ref, g_ref,
+def _read_kernel(origins, px_ref, py_ref, pz_ref, gx_ref, gy_ref, gz_ref,
                  out_ref, bricks, sems, *, t: int, n: int, npz: int,
                  inv_delta: float, num_leaves: int):
     i = pl.program_id(0)
+    g_refs = (gx_ref, gy_ref, gz_ref)
 
-    def fetch(slot, idx):
+    def fetch(slot, idx, c):
         packed = origins[idx]
         ox = packed >> 16
         oy = (packed & 0xFFFF) * 8      # stored /8: 8-aligned for Mosaic
         return pltpu.make_async_copy(
-            g_ref.at[pl.ds(ox, t), pl.ds(oy, t), :], bricks.at[slot],
+            g_refs[c].at[pl.ds(ox, t), pl.ds(oy, t), :], bricks.at[slot],
             sems.at[slot])
 
     @pl.when(i == 0)
     def _():
-        fetch(0, 0).start()
+        fetch(0, 0, 0).start()
 
     # weight build overlaps the in-flight brick DMA
     packed = origins[i]
@@ -244,22 +248,27 @@ def _read_kernel(origins, px_ref, py_ref, pz_ref, g_ref,
     xy = _xy_weights(px_ref[0, 0, :], py_ref[0, 0, :], inv_delta, ox, oy, t)
     wz = _z_weights(pz_ref[0, 0, :], inv_delta, n, npz)
 
-    @pl.when(i + 1 < num_leaves)
-    def _():
-        fetch((i + 1) % 2, i + 1).start()
-
-    slot = i % 2
-    fetch(slot, i).wait()
-    # (t*t, 3*npz) via sublane concat (Mosaic rejects the 3-D reshape);
-    # then ONE full-width MXU dot covering ALL THREE gradient components:
-    # C[s, cz] = sum_ij xy[s, ij] brick[ij, cz]
-    flat = jnp.concatenate([bricks[slot, r] for r in range(t)], axis=0)
-    cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_DOT_PRECISION)
+    # per-component double-buffered pipeline: while component c's brick
+    # is contracted, component c+1's (or the next leaf's first) brick is
+    # in flight.  (A single lane-fused 3-component brick halves the DMA
+    # count but its (2, t, t, 3*npz) scratch blows the ~16 MB scoped-VMEM
+    # budget at t=32 when co-scheduled inside the step program.)
     for c in range(3):
-        seg = cz[:, c * npz:(c + 1) * npz]
-        out_ref[0, c, :] = jnp.sum(seg * wz, axis=1).astype(out_ref.dtype)
+        slot = (3 * i + c) % 2
+        if c < 2:
+            fetch((slot + 1) % 2, i, c + 1).start()
+        else:
+            @pl.when(i + 1 < num_leaves)
+            def _():
+                fetch((slot + 1) % 2, i + 1, 0).start()
+        fetch(slot, i, c).wait()
+        # (t*t, npz) via sublane concat (Mosaic rejects the 3-D reshape);
+        # then one full-width MXU dot: C[s, z] = sum_ij xy[s,ij] brick[ij,z]
+        flat = jnp.concatenate([bricks[slot, r] for r in range(t)], axis=0)
+        cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_DOT_PRECISION)
+        out_ref[0, c, :] = jnp.sum(cz * wz, axis=1).astype(out_ref.dtype)
 
 
 def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
@@ -267,10 +276,9 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
     """Trilinear readout of three padded scalar fields at leaf particles.
 
     padded_fields: tuple of three (npx, npy, npz) arrays (gradient
-    components, from :func:`pad_periodic`); fused along the lane axis
-    into one (npx, npy, 3*npz) field so each leaf costs ONE double-
-    buffered brick DMA + ONE MXU contraction.  Returns (nleaf, 3, S)
-    values in leaf order.
+    components, from :func:`pad_periodic`).  Brick DMAs are double-
+    buffered across components and leaves, so every contraction overlaps
+    the next fetch.  Returns (nleaf, 3, S) values in leaf order.
     """
     n_leaf, s = leaf_pos.shape[:2]
     logical, npx, npy, npz = _mesh_dims(n_side)
@@ -281,7 +289,6 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
     px = (leaf_pos[:, :, 0] + shift)[:, None, :]
     py = (leaf_pos[:, :, 1] + shift)[:, None, :]
     pz = leaf_pos[:, :, 2][:, None, :]
-    fused = jnp.concatenate(padded_fields, axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -291,10 +298,12 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda i, o: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 3, s), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, tile, 3 * npz), jnp.float32),
+            pltpu.VMEM((2, tile, tile, npz), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -305,7 +314,7 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret_default() if interpret is None else interpret,
-    )(origins, px, py, pz, fused)
+    )(origins, px, py, pz, *padded_fields)
 
 
 # ---------------------------------------------------------------------------

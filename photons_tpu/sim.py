@@ -495,29 +495,45 @@ class Simulation:
                     "(SURVEY.md section 7, 'static shapes for an adaptive "
                     "structure')")
 
-    def _grow_capacities(self, factor: int = 2, kind: str = "traversal"):
+    def _grow_capacities(self, factor: float = 1.5, kind: str = "traversal"):
         """Elastic recovery: grow the static capacity knobs and recompile
         (the 'recompile when capacities overflow' policy, SURVEY.md 7;
-        the reference instead aborts or silently truncates).  Factor 2:
-        a x4 jump at 256^3 widens the per-level M2L tables into
-        multi-GB multipole intermediates that can exceed single-chip HBM
-        before a gentler growth would have sufficed.
+        the reference instead aborts or silently truncates).
+
+        Growth is GENTLE (x1.5 rounded to the 32-lane granule): a x2 jump
+        not only risks HBM (the per-level M2L tables widen into multi-GB
+        multipole intermediates) but permanently degrades every subsequent
+        step -- the traversal's candidate width is 2x the open cap, so a
+        96 -> 192 doubling was measured to add ~1.5 s/step of frontier
+        gather/sort work at 256^3 for a ~10% count overshoot.
 
         kind='cic' grows only the CIC brick tile (leaf spread exceeded
-        cic_tile cells); growing the traversal caps for that case would
-        burn recompile/rollback cycles without fixing anything.  kind='skin'
+        cic_tile cells), additively (+8 cells) and only while the paint/
+        read kernels' VMEM scratch still fits the ~16 MB scoped budget;
+        past that the run switches cic_backend to 'xla' (slower PM,
+        correct forces) instead of dying in the compiler.  kind='skin'
         doubles the Verlet skin (particles drifted out of the list-reuse
         margin before the scheduled rebuild)."""
         if kind == "cic":
-            self.cfg = self.cfg.replace(cic_tile=self.cfg.cic_tile * factor)
+            t_new = self.cfg.cic_tile + 8
+            # read kernel scratch: (2, t, t, npz) f32 double-buffered
+            # bricks plus ~3x t*t*npz of weight/contraction temps
+            npz = -(-self.cfg.n_side // 128) * 128
+            scoped = (2 + 3) * t_new * t_new * npz * 4
+            if scoped > 12 * 1024 * 1024:
+                self.cfg = self.cfg.replace(cic_backend="xla")
+            else:
+                self.cfg = self.cfg.replace(cic_tile=t_new)
         elif kind == "skin":
             self.cfg = self.cfg.replace(
-                verlet_skin=self.cfg.verlet_skin * factor)
+                verlet_skin=self.cfg.verlet_skin * 2.0)
         else:
+            def up(v):
+                return -(-int(v * factor) // 32) * 32
             self.cfg = self.cfg.replace(
-                open_cap_per_node=self.cfg.open_cap_per_node * factor,
-                m2l_cap_per_node=self.cfg.m2l_cap_per_node * factor,
-                p2p_neighbor_cap=self.cfg.p2p_neighbor_cap * factor)
+                open_cap_per_node=up(self.cfg.open_cap_per_node),
+                m2l_cap_per_node=up(self.cfg.m2l_cap_per_node),
+                p2p_neighbor_cap=up(self.cfg.p2p_neighbor_cap))
         self.__post_init__()
 
     def run(self, n_steps: Optional[int] = None,

@@ -51,6 +51,14 @@ def main():
     ap.add_argument("--sorted", action="store_true", dest="sorted_state",
                     help="sorted-state stepping: keep particles in tree "
                          "order across steps (kills the unsort scatter)")
+    ap.add_argument("--split-step", action="store_true",
+                    help="split FMM/PM dispatch (separate AOT stage "
+                         "executables).  Round 1 needed this at 256^3 for "
+                         "HBM; round 2's memory savings (sorted state, "
+                         "halo-free z, bf16 CIC contractions) let the "
+                         "fused step fit, and the AOT stage compiler's "
+                         "stricter scoped-vmem budget rejects the fused "
+                         "read kernel -- so fused is now the default.")
     ap.add_argument("--list-reuse", type=int, default=1,
                     help="rebuild traversal lists every k-th step "
                          "(Verlet skin; implies --sorted)")
@@ -73,9 +81,7 @@ def main():
         n_part=n ** 3, n_side=n, leaf_size=args.leaf_size, dtype="float32",
         open_cap_per_node=args.open_cap, p2p_neighbor_cap=args.p2p_cap,
         m2l_cap_per_node=64,
-        # split FMM/PM dispatch at the largest N: co-scheduling both
-        # subgraphs in one program exceeds a v5e's 16 GB at 256^3
-        fused_step=n < 256,
+        fused_step=not args.split_step,
         code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
     if args.theta is not None:
         cfg = cfg.replace(open_angle=args.theta)

@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--list-reuse", type=int, default=1,
                     help="rebuild traversal lists every k-th step "
                          "(Verlet skin; implies --sorted)")
+    ap.add_argument("--open-cap", type=int, default=0,
+                    help="override the per-leaf-size open_cap")
+    ap.add_argument("--p2p-cap", type=int, default=0,
+                    help="override the per-leaf-size p2p_cap")
     ap.add_argument("--out", default="artifacts")
     args = ap.parse_args()
 
@@ -121,6 +125,8 @@ def main():
     for s_leaf in [int(x) for x in args.leaf_sizes.split(",")]:
         for theta in [float(x) for x in args.thetas.split(",")]:
             open_cap, p2p_cap = caps.get(s_leaf, (128, 96))
+            open_cap = args.open_cap or open_cap
+            p2p_cap = args.p2p_cap or p2p_cap
             cfg = base.replace(leaf_size=s_leaf, open_angle=theta,
                                open_cap_per_node=open_cap,
                                p2p_neighbor_cap=p2p_cap,

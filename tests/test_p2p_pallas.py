@@ -101,6 +101,64 @@ def test_indexing_subleaf_refine(monkeypatch):
     assert float(jnp.sqrt(((acc - ref) ** 2).mean())) / rms < 2e-4
 
 
+def test_indexing_quad_masks(monkeypatch):
+    """Quad sub-tile culling (quad_masks, one DMA per leaf pair,
+    mask-gated (64,128) sub-tiles).  Must agree with the jnp path up to
+    the erfc tail of the culled blocks.  Off by default (measured net
+    loss at 256^3 -- see p2p_pallas.P2P_QUAD); forced on here to keep
+    the path verified."""
+    import photons_tpu.ops.p2p_pallas as pp
+    monkeypatch.setattr(pp, "P2P_QUAD", (4, 2))
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096, dtype="float64",
+                    leaf_size=256, open_cap_per_node=128,
+                    p2p_neighbor_cap=96)
+    pos = jnp.asarray(np.random.default_rng(17).uniform(0, L, (4096, 3)))
+    ref, _ = jax.jit(lambda p: fmm_forces(p, cfg, p2p_backend="jnp"))(pos)
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg,
+                                             p2p_backend="indexing"))(pos)
+    assert not bool(diag["overflow"])
+    rms = float(jnp.sqrt((ref**2).sum(-1)).mean())
+    assert float(jnp.abs(acc - ref).max()) / rms < 2e-3
+    assert float(jnp.sqrt(((acc - ref) ** 2).mean())) / rms < 2e-4
+
+
+def test_quad_masks_cull_and_cover():
+    """quad_masks: kept bits exactly the within-cutoff (tight-AABB) block
+    pairs; zero-mask entries dropped; self pairs keep their own bits."""
+    from photons_tpu.ops.p2p_pallas import quad_masks
+    from photons_tpu.ops.traversal import dual_tree_traversal
+    from photons_tpu.tree.build import build_tree
+
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=4096, dtype="float64",
+                    leaf_size=256)
+    pos = jnp.asarray(np.random.default_rng(21).uniform(0, L, (4096, 3)))
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=256,
+                      lo=0.0, hi=L)
+    lists = dual_tree_traversal(tree, theta=cfg.open_angle,
+                                cutoff=cfg.cutoff_radius, boxsize=L,
+                                open_cap=128, m2l_cap=64, p2p_cap=96)
+    tbl, msk = quad_masks(tree, lists.p2p, cfg.cutoff_radius, L,
+                          ft=4, fs=2)
+    t, m = np.asarray(tbl), np.asarray(msk)
+    t0 = np.asarray(lists.p2p)
+    n_leaf = tree.n_leaf
+    assert t.shape == t0.shape and m.shape == t0.shape
+    # valid entries carry a nonzero mask; dropped slots are -1/0 aligned
+    assert ((t >= 0) == (m > 0)).all()
+    assert (m[t >= 0] < (1 << 8)).all()
+    # kept entries are a subset of the original row's entries
+    for row in range(min(8, n_leaf)):
+        assert set(t[row][t[row] >= 0]) <= set(t0[row][t0[row] >= 0])
+    # the self pair survives with at least the diagonal blocks lit
+    for row in range(n_leaf):
+        sl = np.where(t[row] == row)[0]
+        assert len(sl) == 1
+        assert m[row][sl[0]] > 0
+    # culling did something: total lit bits < full ft*fs per pair
+    assert (np.vectorize(lambda x: bin(x).count("1"))(m).sum()
+            < 8 * (t0 >= 0).sum())
+
+
 def test_halve_table_culls_and_covers():
     """halve_table: one row per TARGET HALF; kept source halves come from
     the parent leaf's listed sources; tight-AABB culling removes a
