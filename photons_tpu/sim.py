@@ -699,7 +699,15 @@ class Simulation:
                     fence_per_step = True
                 if (profiler is not None
                         and windows_done % profile_interval == 0):
-                    profiler.profile(self.state.pos, self.timers)
+                    try:
+                        profiler.profile(self.state.pos, self.timers)
+                    except Exception:
+                        # the phase pipeline's transients alongside the
+                        # resident fused step can exceed HBM at the
+                        # largest N depending on allocator state; a
+                        # failed profile must degrade telemetry (stale
+                        # phase columns), never kill a production run
+                        profiler = None
                 windows_done += 1
                 if self.log is not None:
                     phases = self.timers.latest()
