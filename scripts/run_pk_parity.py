@@ -44,6 +44,13 @@ def main():
                     help="skip the phase profiler (it now compiles AOT "
                          "with compact layouts and fits at 256^3; this "
                          "escape hatch remains for debugging only)")
+    ap.add_argument("--profile-interval", type=int, default=12,
+                    help="profile phases every k-th check window.  At "
+                         "256^3 the phase pipeline's multi-GB transients "
+                         "alongside the resident fused step fragment the "
+                         "16 GB heap; per-window profiling (k=1) was "
+                         "measured to OOM the step itself ~3 windows in, "
+                         "so production runs profile sparsely")
     ap.add_argument("--open-cap", type=int, default=128)
     ap.add_argument("--p2p-cap", type=int, default=96)
     ap.add_argument("--theta", type=float, default=None,
@@ -101,7 +108,8 @@ def main():
     t0 = time.perf_counter()
     sim.run(n_steps=args.steps, a_final=args.a_final,
             snapshot_times=(0.25, 0.5, args.a_final),
-            profile_interval=0 if args.no_profile else None)
+            profile_interval=0 if args.no_profile
+            else args.profile_interval)
     wall = time.perf_counter() - t0
     print(f"run: {wall:.1f}s total, {wall / args.steps:.2f} s/step",
           flush=True)
