@@ -514,6 +514,13 @@ class Simulation:
         correct forces) instead of dying in the compiler.  kind='skin'
         doubles the Verlet skin (particles drifted out of the list-reuse
         margin before the scheduled rebuild)."""
+        import sys
+        print(f"photoNs-TPU: capacity recovery kind={kind} "
+              f"(open={self.cfg.open_cap_per_node} "
+              f"m2l={self.cfg.m2l_cap_per_node} "
+              f"p2p={self.cfg.p2p_neighbor_cap} "
+              f"cic_tile={self.cfg.cic_tile}) -> growing",
+              file=sys.stderr, flush=True)
         if kind == "cic":
             t_new = self.cfg.cic_tile + 8
             # read kernel scratch: (2, t, t, npz) f32 double-buffered
