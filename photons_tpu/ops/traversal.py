@@ -67,6 +67,11 @@ class InteractionLists:
     p2p: jax.Array
     p2p_count: jax.Array
     overflow: jax.Array
+    # bitmask telling the elastic recovery WHICH cap tripped so it can
+    # grow only that one (growing all three was measured to blow HBM at
+    # 256^3): 1 = open frontier, 2 = m2l table, 4 = p2p leaf row
+    overflow_bits: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def _flags_from_measures(gap_sum, dm2, dd2, wmax2, count_t, count_s,
