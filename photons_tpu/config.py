@@ -79,6 +79,10 @@ class SimConfig:
     cic_tile: int = 32                  # Pallas CIC brick cells per x/y axis
     # (a leaf's CIC footprint must fit; overflow is flagged like the
     # traversal capacities)
+    cic_straddler_cap: int = 8          # leaves whose footprint exceeds the
+    # brick tile (SFC segments crossing major Hilbert transitions) are
+    # routed through an XLA scatter/gather residual path instead of
+    # triggering a recompile recovery; only > cap straddlers overflow
     # capacity knobs for static-shape traversal (see ops/traversal.py)
     p2p_neighbor_cap: int = 256         # max P2P source leaves per target leaf
     m2l_cap_per_node: int = 64          # max M2L sources per target node/level

@@ -185,10 +185,16 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
     # layout='sorted' skips the scatter entirely: the caller keeps its
     # state in tree order (cfg.sorted_state), so the leaf-order results
     # ARE the answer -- a TPU row scatter at 16.7M rows costs ~1.4 s.
+    from photons_tpu.ops.traversal import OVF_P2P
     diag = {
         "n_p2p": lists.p2p_count,
         "n_m2l": sum(lists.m2l_counts),
         "overflow": lists.overflow | nbr_overflow,
+        # which cap tripped (OVF_OPEN/OVF_M2L/OVF_P2P): the kernel's own
+        # neighbor-chunk overflow is a p2p-row condition, so recovery
+        # grows only p2p_neighbor_cap for it
+        "overflow_bits": lists.overflow_bits
+        | jnp.where(nbr_overflow, OVF_P2P, 0),
     }
     if layout == "sorted":
         flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0).reshape(-1, 3)
@@ -242,6 +248,7 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     from photons_tpu.pm.solver import gradient_4th, pm_potential
 
     from photons_tpu.pm.cic_pallas import effective_tile
+    from photons_tpu.pm.mesh import cic_paint, cic_read_vector
     box = cfg.boxsize
     n_side = cfg.n_side
     tile = effective_tile(n_side, cfg.cic_tile)
@@ -250,8 +257,33 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
         tree.pos.dtype)
     padded = paint_leaves(tree.pos, wts, origins, n_side, tile, box,
                           interpret=interpret)
-    dens = fold_halos(padded, n_side) * (
-        cfg.particle_mass * (n_side / box) ** 3)
+    counts = fold_halos(padded, n_side)
+
+    # Residual straddler path (NEXT.md round-3 lead): a few leaves' SFC
+    # segments cross major Hilbert transitions, so their CIC footprint
+    # exceeds any practical brick tile.  Instead of a recompile recovery
+    # (tile growth, then cic_backend='xla'), route up to
+    # cfg.cic_straddler_cap such leaves through XLA scatter/gather --
+    # the compacted-residual fallback the kernel docstring assumes
+    # (pm/cic_pallas.py).  Only > cap straddlers still flag cic_overflow.
+    k_cap = min(int(cfg.cic_straddler_cap), tree.n_leaf)
+    n_strad = jnp.sum(~fits)
+    if k_cap > 0:
+        sval, sidx = jax.lax.top_k((~fits).astype(jnp.int32), k_cap)
+        gate = sval > 0                                   # (K,)
+        spos = tree.pos[sidx]                             # (K, S, 3)
+        sw = (tree.mask[sidx] & gate[:, None]).reshape(-1).astype(
+            tree.pos.dtype)
+        spos_flat = spos.reshape(-1, 3)
+        counts = jax.lax.cond(
+            n_strad > 0,
+            lambda c: c + cic_paint(spos_flat, box, n_side,
+                                    weights=sw).astype(c.dtype),
+            lambda c: c, counts)
+        fits_all = n_strad <= k_cap
+    else:
+        fits_all = jnp.all(fits)
+    dens = counts * (cfg.particle_mass * (n_side / box) ** 3)
     # layout firewall: the sliced view of the Pallas output can carry a
     # non-major layout that the TPU fft thunk misreads (values verified
     # correct, fft output garbage).  A barriered flatten/reshape forces a
@@ -267,7 +299,20 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     vals = read_leaves(tree.pos, fields, origins,
                        n_side, tile, box, interpret=interpret)
     acc_pm_leaf = jnp.moveaxis(vals, 1, 2).astype(tree.pos.dtype)
-    return acc_pm_leaf, jnp.all(fits)
+    if k_cap > 0:
+        # straddler rows read garbage through their clamped brick origin:
+        # overwrite them with an XLA trilinear readout of the same grad
+        # field (delta-add form keeps non-straddler rows bit-identical and
+        # tolerates a partially-filled top_k index set)
+        def _fix(acc_leaf):
+            svals = cic_read_vector(grad, spos.reshape(-1, 3), box,
+                                    n_side).reshape(k_cap, -1, 3)
+            delta = (svals.astype(acc_leaf.dtype) - acc_leaf[sidx]) \
+                * gate[:, None, None]
+            return acc_leaf.at[sidx].add(delta)
+        acc_pm_leaf = jax.lax.cond(n_strad > 0, _fix,
+                                   lambda a: a, acc_pm_leaf)
+    return acc_pm_leaf, fits_all
 
 
 def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,

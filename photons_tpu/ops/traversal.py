@@ -74,6 +74,9 @@ class InteractionLists:
         default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
+OVF_OPEN, OVF_M2L, OVF_P2P = 1, 2, 4
+
+
 def _flags_from_measures(gap_sum, dm2, dd2, wmax2, count_t, count_s,
                          theta: float, cutoff: Optional[float],
                          adjacency_eps: float):
@@ -193,6 +196,7 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
     """
     depth = len(centers_t) - 1
     overflow = jnp.asarray(False)
+    overflow_bits = jnp.zeros((), jnp.int32)
     m2l_tables = []
     m2l_counts = []
 
@@ -262,13 +266,15 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         m2l_tables.append(tbl)
         m2l_counts.append(cnt)
         overflow |= ovf
+        overflow_bits |= jnp.where(ovf, OVF_M2L, 0)
 
         cap_open = min(kcand, p2p_cap if last else open_cap)
         open_src, o_cnt, ovf = _row_compact(cand, flags == 0, cap_open)
         if not (last and leaf_unresolved == "m2l"):
             overflow |= ovf
+            overflow_bits |= jnp.where(ovf, OVF_P2P if last else OVF_OPEN, 0)
 
     return InteractionLists(m2l=tuple(m2l_tables),
                             m2l_counts=tuple(m2l_counts),
                             p2p=open_src, p2p_count=o_cnt,
-                            overflow=overflow)
+                            overflow=overflow, overflow_bits=overflow_bits)

@@ -52,9 +52,12 @@ class CapacityOverflowError(RuntimeError):
     are invalid.  ``kind`` tells the elastic recovery which knob to grow:
     'traversal' (open/m2l/p2p caps) or 'cic' (cic_tile)."""
 
-    def __init__(self, msg: str, kind: str = "traversal"):
+    def __init__(self, msg: str, kind: str = "traversal", bits: int = 0):
         super().__init__(msg)
         self.kind = kind
+        # for kind='traversal': OR of traversal.OVF_* telling WHICH of the
+        # three caps tripped (0 = unknown -> grow all three)
+        self.bits = bits
 
 
 def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
@@ -493,9 +496,11 @@ class Simulation:
                     "traversal capacity overflow -- enlarge "
                     "open_cap_per_node / m2l_cap_per_node / p2p_neighbor_cap "
                     "(SURVEY.md section 7, 'static shapes for an adaptive "
-                    "structure')")
+                    "structure')",
+                    bits=int(self.last_diag.get("overflow_bits", 0)))
 
-    def _grow_capacities(self, factor: float = 1.5, kind: str = "traversal"):
+    def _grow_capacities(self, factor: float = 1.5, kind: str = "traversal",
+                         bits: int = 0):
         """Elastic recovery: grow the static capacity knobs and recompile
         (the 'recompile when capacities overflow' policy, SURVEY.md 7;
         the reference instead aborts or silently truncates).
@@ -535,12 +540,26 @@ class Simulation:
             self.cfg = self.cfg.replace(
                 verlet_skin=self.cfg.verlet_skin * 2.0)
         else:
+            # grow ONLY the caps the traversal's overflow_bits name
+            # (NEXT.md round-3 lead): the frontier's candidate width is
+            # 2x open_cap, so growing untripped caps permanently taxes
+            # every later step's gather/sort volume.  bits == 0 (older
+            # diag paths / sharded reductions) falls back to all three.
+            from photons_tpu.ops.traversal import OVF_M2L, OVF_OPEN, OVF_P2P
+
             def up(v):
                 return -(-int(v * factor) // 32) * 32
+            grow_all = bits == 0
             self.cfg = self.cfg.replace(
-                open_cap_per_node=up(self.cfg.open_cap_per_node),
-                m2l_cap_per_node=up(self.cfg.m2l_cap_per_node),
-                p2p_neighbor_cap=up(self.cfg.p2p_neighbor_cap))
+                open_cap_per_node=up(self.cfg.open_cap_per_node)
+                if grow_all or bits & OVF_OPEN
+                else self.cfg.open_cap_per_node,
+                m2l_cap_per_node=up(self.cfg.m2l_cap_per_node)
+                if grow_all or bits & OVF_M2L
+                else self.cfg.m2l_cap_per_node,
+                p2p_neighbor_cap=up(self.cfg.p2p_neighbor_cap)
+                if grow_all or bits & OVF_P2P
+                else self.cfg.p2p_neighbor_cap)
         self.__post_init__()
 
     def run(self, n_steps: Optional[int] = None,
@@ -587,7 +606,7 @@ class Simulation:
                 retries += 1
                 if retries > max_retries:
                     raise
-                self._grow_capacities(kind=e.kind)
+                self._grow_capacities(kind=e.kind, bits=e.bits)
 
         if profile_interval is None and self.log is not None:
             profile_interval = 1            # one phase profile per window
@@ -635,7 +654,8 @@ class Simulation:
                         self.state, float(dkj), float(ddj),
                         float(np.exp(sub_loga[j + 1])))
                     dsub = dict(dsub)
-                    for key in ("overflow", "cic_overflow", "skin_overflow"):
+                    for key in ("overflow", "overflow_bits",
+                                "cic_overflow", "skin_overflow"):
                         if key in dsub and key in diag:
                             dsub[key] = dsub[key] | diag[key]
                     diag = dsub
@@ -649,9 +669,11 @@ class Simulation:
             # the window, not just the last step's)
             if "overflow" in diag or "cic_overflow" in diag:
                 diag = dict(diag)
-                for key in ("overflow", "cic_overflow", "skin_overflow"):
+                for key in ("overflow", "overflow_bits",
+                            "cic_overflow", "skin_overflow"):
                     if key in diag:
-                        diag[key] = diag[key] | pending_ovf.get(key, False)
+                        diag[key] = diag[key] | pending_ovf.get(
+                            key, 0 if key == "overflow_bits" else False)
                         pending_ovf[key] = diag[key]
             # device->host syncs cost ~70 ms each through the axon tunnel:
             # only materialize diagnostics every check_interval steps, on
@@ -689,7 +711,7 @@ class Simulation:
                     # popped, so due snapshots re-emit from the replay; the
                     # invalid window's buffered log rows are discarded and
                     # re-emitted by the replay)
-                    self._grow_capacities(kind=e.kind)
+                    self._grow_capacities(kind=e.kind, bits=e.bits)
                     self.state = verified_state
                     pending_ovf = {}
                     i = verified_i
@@ -834,6 +856,11 @@ class Simulation:
             vel = kick(vel, acc, acc_pm, levels, dkh_close)
             if "overflow" in dsub:
                 overflow = dsub["overflow"] | overflow
+                if "overflow_bits" in dsub:
+                    ovf_bits = dsub["overflow_bits"] | diag.get(
+                        "overflow_bits", 0)
+                    dsub = dict(dsub)
+                    dsub["overflow_bits"] = ovf_bits
             diag = dsub
         if "overflow" in diag:
             diag = dict(diag)

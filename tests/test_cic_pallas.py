@@ -95,6 +95,39 @@ def test_engine_tree_shared_pm_matches_xla_pm():
                                rtol=0, atol=3e-5 * max(scale, 1.0))
 
 
+def test_straddler_residual_path_matches_xla():
+    """Leaves whose CIC footprint exceeds the brick tile are routed through
+    the XLA scatter/gather residual path (cfg.cic_straddler_cap) instead of
+    flagging cic_overflow -- forces must match the XLA engine."""
+    from photons_tpu.ops.fmm_engine import fmm_forces
+    from photons_tpu.sim import make_force_fn
+
+    rng = np.random.default_rng(5)
+    # leaf_size=256 at N=2048 / n_side=64: every leaf spans ~L/2 >> 8 cells,
+    # so ALL 8 leaves straddle and the residual path carries the whole PM
+    cfg = SimConfig(boxsize=L, n_side=64, n_part_total=2048, dtype="float32",
+                    leaf_size=256, cic_backend="xla", cic_tile=8,
+                    cic_straddler_cap=8, sorted_state=False)
+    pos = jnp.asarray(rng.uniform(0, L, (2048, 3)), jnp.float32)
+    acc_x, pm_x, diag_x = jax.jit(make_force_fn(cfg, "fmm"))(pos)
+
+    cfg_p = cfg.replace(cic_backend="pallas")
+    (acc_p, pm_p), diag_p = jax.jit(
+        lambda p: fmm_forces(p, cfg_p, pm_gf=green_function(
+            64, L, cfg_p.split_radius, dtype=jnp.float32)))(pos)
+    assert not bool(diag_p["cic_overflow"])
+    scale = float(jnp.abs(pm_x).max())
+    np.testing.assert_allclose(np.asarray(pm_p), np.asarray(pm_x),
+                               rtol=0, atol=3e-5 * max(scale, 1.0))
+
+    # more straddlers than the cap -> cic_overflow must flag
+    cfg_t = cfg_p.replace(cic_straddler_cap=4)
+    (_, _), diag_t = jax.jit(
+        lambda p: fmm_forces(p, cfg_t, pm_gf=green_function(
+            64, L, cfg_t.split_radius, dtype=jnp.float32)))(pos)
+    assert bool(diag_t["cic_overflow"])
+
+
 def test_brick_overflow_flagged():
     """A too-small tile must flag, not silently drop mass."""
     rng = np.random.default_rng(4)

@@ -92,6 +92,52 @@ def test_traversal_overflow_flag():
     assert bool(tiny.overflow)
 
 
+def test_traversal_overflow_bits_name_the_tripped_cap():
+    """overflow_bits must identify WHICH capacity tripped so elastic
+    recovery grows only that knob (growing untripped caps permanently
+    taxes every later step -- NEXT.md round-3 lead)."""
+    from photons_tpu.ops.traversal import OVF_M2L, OVF_OPEN, OVF_P2P
+
+    pos = _randpos(2048, 4)
+    t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+
+    tight_p2p = dual_tree_traversal(t, theta=0.4, cutoff=20.0, boxsize=L,
+                                    open_cap=256, m2l_cap=128, p2p_cap=2)
+    assert bool(tight_p2p.overflow)
+    assert int(tight_p2p.overflow_bits) & OVF_P2P
+    assert not int(tight_p2p.overflow_bits) & OVF_OPEN
+
+    tight_open = dual_tree_traversal(t, theta=0.4, cutoff=20.0, boxsize=L,
+                                     open_cap=2, m2l_cap=128, p2p_cap=256)
+    assert bool(tight_open.overflow)
+    assert int(tight_open.overflow_bits) & OVF_OPEN
+
+    roomy = dual_tree_traversal(t, theta=0.4, cutoff=20.0, boxsize=L)
+    assert not bool(roomy.overflow)
+    assert int(roomy.overflow_bits) == 0
+
+
+def test_grow_capacities_grows_only_named_caps():
+    """Simulation._grow_capacities(kind='traversal', bits=OVF_P2P) must
+    leave open/m2l caps untouched (selective elastic recovery)."""
+    from photons_tpu.ops.traversal import OVF_P2P
+    from photons_tpu.sim import Simulation
+
+    cfg = _cfg(n_part_total=512, sorted_state=False)
+    pos = _randpos(512, 6)
+    sim = Simulation.from_arrays(cfg, pos, jnp.zeros_like(pos), engine="pm")
+    o0, m0, p0 = (cfg.open_cap_per_node, cfg.m2l_cap_per_node,
+                  cfg.p2p_neighbor_cap)
+    sim._grow_capacities(kind="traversal", bits=OVF_P2P)
+    assert sim.cfg.open_cap_per_node == o0
+    assert sim.cfg.m2l_cap_per_node == m0
+    assert sim.cfg.p2p_neighbor_cap > p0
+    # bits=0 (unknown source) falls back to growing all three
+    sim._grow_capacities(kind="traversal", bits=0)
+    assert sim.cfg.open_cap_per_node > o0
+    assert sim.cfg.m2l_cap_per_node > m0
+
+
 # -------------------------------------------------------------- forces --
 
 def test_fmm_periodic_vs_direct_damped():
