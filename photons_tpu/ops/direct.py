@@ -67,7 +67,8 @@ def direct_forces(pos, mass: float, eps: float, split_radius=None,
 
 def ewald_forces(pos: np.ndarray, mass: float, boxsize: float,
                  split_radius: float, eps: float,
-                 n_images: int = 3, k_max: int = 12) -> np.ndarray:
+                 n_images: int = 3, k_max: int = 12, targets=None,
+                 return_parts: bool = False) -> np.ndarray:
     """Exact periodic acceleration via Ewald summation (float64 numpy).
 
     Splits 1/r = erfc(r/2rs)/r + erf(r/2rs)/r; the erf part is summed in
@@ -76,6 +77,15 @@ def ewald_forces(pos: np.ndarray, mass: float, boxsize: float,
     (conv.f90:176-233 with ismth2 = (2 pi rs / L)^2).  The erfc part is
     summed in real space over images, with the reference's hard softening
     clamp applied at r < eps.
+
+    ``targets``: optional index array -- compute forces only on these
+    particles (every particle still sources).  Memory is O(T*N), letting
+    the oracle sample flagship-scale (32^3+) configurations the full
+    O(N^2) evaluation cannot hold.
+
+    ``return_parts``: return (acc_total, acc_short, acc_long) so the
+    solver's short-range (FMM) and long-range (PM) halves can be budgeted
+    separately (the split-geometry accuracy sweep).
 
     Returns acc with the same convention as the solvers (acc = +grad phi,
     phi = +sum m/r; G applied at kick time).
@@ -86,13 +96,17 @@ def ewald_forces(pos: np.ndarray, mass: float, boxsize: float,
     n = pos.shape[0]
     L = float(boxsize)
     rs = float(split_radius)
+    tgt = (np.arange(n) if targets is None
+           else np.asarray(targets, np.int64))
+    pos_t = pos[tgt]
+    t = pos_t.shape[0]
 
     # --- real-space erfc sum over images --------------------------------
-    acc = np.zeros((n, 3))
+    acc_short = np.zeros((t, 3))
     rng = np.arange(-n_images, n_images + 1, dtype=np.float64)
     sx, sy, sz = np.meshgrid(rng, rng, rng, indexing="ij")
     shifts = np.stack([sx.ravel(), sy.ravel(), sz.ravel()], axis=-1) * L  # (S,3)
-    base = pos[None, :, :] - pos[:, None, :]                             # (N,N,3)
+    base = pos[None, :, :] - pos_t[:, None, :]                           # (T,N,3)
     for shift in shifts:
         dx = base + shift[None, None, :]
         r2 = np.einsum("ijd,ijd->ij", dx, dx)
@@ -101,7 +115,7 @@ def ewald_forces(pos: np.ndarray, mass: float, boxsize: float,
         g = np_erfc(x) + (r / rs) / np.sqrt(np.pi) * np.exp(-x * x)
         r_soft = np.maximum(r, eps)
         f = np.where(r2 > 0, mass * g / r_soft**3, 0.0)
-        acc += np.einsum("ij,ijd->id", f, dx)
+        acc_short += np.einsum("ij,ijd->id", f, dx)
 
     # --- k-space Gaussian sum --------------------------------------------
     ls = np.arange(-k_max, k_max + 1)
@@ -114,9 +128,16 @@ def ewald_forces(pos: np.ndarray, mass: float, boxsize: float,
     a_k = (4.0 * np.pi / (L**3 * k2)) * np.exp(-k2 * rs * rs)
 
     # rho_k = sum_s m exp(-i k.x_s); acc(x) = Re[ sum_k A_k rho_k (ik) e^{ikx} ]
-    phase_s = np.exp(-1j * pos @ kvec.T)                # (N, K)
-    rho_k = mass * np.sum(phase_s, axis=0)              # (K,)
-    phase_t = np.exp(1j * pos @ kvec.T)                 # (N, K)
-    coeff = a_k * rho_k                                 # (K,)
-    acc += np.real(phase_t * coeff[None, :] * 1j) @ kvec
-    return acc
+    # chunked over k so the (N, K) phase matrices stay bounded at large N
+    acc_long = np.zeros((t, 3))
+    kchunk = max(1, int(2e8 // max(n, 1)))
+    for k0 in range(0, kvec.shape[0], kchunk):
+        kv = kvec[k0:k0 + kchunk]
+        phase_s = np.exp(-1j * pos @ kv.T)              # (N, Kc)
+        rho_k = mass * np.sum(phase_s, axis=0)          # (Kc,)
+        phase_t = np.exp(1j * pos_t @ kv.T)             # (T, Kc)
+        coeff = a_k[k0:k0 + kchunk] * rho_k             # (Kc,)
+        acc_long += np.real(phase_t * coeff[None, :] * 1j) @ kv
+    if return_parts:
+        return acc_short + acc_long, acc_short, acc_long
+    return acc_short + acc_long
