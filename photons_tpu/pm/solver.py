@@ -54,11 +54,141 @@ def green_function(n_side: int, boxsize: float, split_radius: float,
     return jnp.asarray(gf, dtype)
 
 
+def green_function_traced(n_side: int, boxsize: float, split_radius: float,
+                          deconvolve: bool = True, dtype=jnp.float32):
+    """Traced twin of :func:`green_function`: build the kernel on-device.
+
+    A host-materialized gf captured by a jitted force function is inlined
+    into the HLO as a literal constant -- 270 MB of program text at a
+    512^3 mesh, which the axon remote-compile endpoint rejects outright
+    (HTTP 413).  Built in-trace from iota, XLA fuses the few elementwise
+    ops into the spectrum multiply and the constant pool stays O(1).
+    Weight math follows green_function exactly (conv.f90:176-233)."""
+    f = jnp.float32 if dtype == jnp.float32 else jnp.float64
+    l_full = jnp.fft.fftfreq(n_side, d=1.0 / n_side).astype(f)
+    l_half = jnp.arange(n_side // 2 + 1, dtype=f)
+    lx = l_full[:, None, None]
+    ly = l_full[None, :, None]
+    lz = l_half[None, None, :]
+    k2 = lx * lx + ly * ly + lz * lz
+
+    pref = boxsize**2 / np.pi
+    gf = pref / jnp.where(k2 > 0, k2, 1.0)
+    if deconvolve:
+        ismth2 = (2.0 * np.pi * split_radius / boxsize) ** 2
+        ff = 1.0 / (jnp.sinc(lx / n_side) * jnp.sinc(ly / n_side)
+                    * jnp.sinc(lz / n_side))
+        gf = gf * jnp.exp(-k2 * ismth2) * ff**4
+    gf = gf.at[0, 0, 0].set(pref)   # DC kept finite (conv.f90:226-228)
+    return gf.astype(dtype)
+
+
+# Above this length a 1-D FFT is computed by recursive radix-2
+# (Cooley-Tukey) splitting into two half-length XLA FFT ops + a twiddle
+# combine.  XLA's TPU lowering of a length-512 FFT embedded in a larger
+# program materializes an f32[n, n, n/4, 4] temp whose (8, 128) tiling
+# pads the trailing dim-4 axis 32x -- 16 GB of HLO temp at a 512^3 mesh
+# (measured OOM: "Extra memory due to padding: 15.50G (32.0x expansion)";
+# the same FFT compiled standalone gets a sane layout).  256-point FFTs
+# embedded in the flagship 256^3 step are measured safe, so the split
+# recurses to <= 256.  Measured at 512^3: full forward+inverse 3-D chain
+# 1.77 GiB of temps, ~128 ms/call on a v5e.
+_FFT_SAFE_LEN = 256
+
+
+def _fft1(a, inverse: bool):
+    """C2C FFT along the LAST axis via radix-2 splits to safe lengths."""
+    n = a.shape[-1]
+    if n <= _FFT_SAFE_LEN or n % 2:
+        return jnp.fft.ifft(a, axis=-1) if inverse else jnp.fft.fft(a, axis=-1)
+    h = n // 2
+    if inverse:
+        # inverse radix-2: recover half-spectra, then interleave
+        k = jnp.arange(h)
+        w = jnp.exp(2j * jnp.pi * k / n).astype(a.dtype)
+        e = 0.5 * (a[..., :h] + a[..., h:])
+        ow = 0.5 * (a[..., :h] - a[..., h:])
+        xe = _fft1(e, True)
+        xo = _fft1(w * ow, True)
+        return jnp.stack([xe, xo], -1).reshape(a.shape)
+    e = _fft1(a[..., 0::2], False)
+    o = _fft1(a[..., 1::2], False)
+    k = jnp.arange(h)
+    w = jnp.exp(-2j * jnp.pi * k / n).astype(e.dtype)
+    return jnp.concatenate([e + w * o, e - w * o], -1)
+
+
+def _fft_axis(a, axis: int, inverse: bool):
+    n = a.shape[axis]
+    if n <= _FFT_SAFE_LEN or n % 2:
+        return (jnp.fft.ifft(a, axis=axis) if inverse
+                else jnp.fft.fft(a, axis=axis))
+    a = jnp.moveaxis(a, axis, -1)
+    return jnp.moveaxis(_fft1(a, inverse), -1, axis)
+
+
+def _rfft1(a):
+    """R2C FFT along the LAST axis (radix-2 to safe lengths): (...,n) real
+    -> (..., n//2+1) complex."""
+    n = a.shape[-1]
+    if n <= _FFT_SAFE_LEN or n % 4:
+        return jnp.fft.rfft(a, axis=-1)
+    h = n // 2
+    e = _rfft1(a[..., 0::2])                       # (..., h//2+1)
+    o = _rfft1(a[..., 1::2])
+    # hermitian extension to m = 0..h, then one twiddle combine:
+    # X[m] = E[m mod h] + w^m O[m mod h], w = exp(-2 pi i / n)
+    ee = jnp.concatenate([e, jnp.conj(e[..., h // 2 - 1:0:-1]),
+                          e[..., :1]], -1)          # (..., h+1)
+    oe = jnp.concatenate([o, jnp.conj(o[..., h // 2 - 1:0:-1]),
+                          o[..., :1]], -1)
+    m = jnp.arange(h + 1)
+    w = jnp.exp(-2j * jnp.pi * m / n).astype(ee.dtype)
+    return ee + w * oe
+
+
+def _irfft1(x, n: int):
+    """C2R inverse along the LAST axis: (..., n//2+1) complex -> (...,n)."""
+    if n <= _FFT_SAFE_LEN or n % 4:
+        return jnp.fft.irfft(x, n=n, axis=-1)
+    h = n // 2
+    # split the half-spectrum back into the even/odd half-length spectra
+    a = x[..., :h]
+    b = jnp.concatenate([x[..., h:h + 1], jnp.conj(x[..., h - 1:0:-1])], -1)
+    e = 0.5 * (a + b)
+    ow = 0.5 * (a - b)
+    k = jnp.arange(h)
+    w = jnp.exp(2j * jnp.pi * k / n).astype(x.dtype)
+    o = w * ow
+    xe = _irfft1(e[..., :h // 2 + 1], h)
+    xo = _irfft1(o[..., :h // 2 + 1], h)
+    return jnp.stack([xe, xo], -1).reshape(x.shape[:-1] + (n,))
+
+
+def rfft3(x):
+    """rfftn(x) for a cubic real mesh, safe at any power-of-two side."""
+    n = x.shape[0]
+    if n <= _FFT_SAFE_LEN:
+        return jnp.fft.rfftn(x)
+    xk = _rfft1(x)
+    xk = _fft_axis(xk, 1, False)
+    return _fft_axis(xk, 0, False)
+
+
+def irfft3(xk, n: int, dtype):
+    """irfftn(xk, s=(n,n,n)), safe at any power-of-two side."""
+    if n <= _FFT_SAFE_LEN:
+        return jnp.fft.irfftn(xk, s=(n, n, n)).astype(dtype)
+    xk = _fft_axis(xk, 0, True)
+    xk = _fft_axis(xk, 1, True)
+    return _irfft1(xk, n).astype(dtype)
+
+
 def pm_potential(density, gf):
     """FFT convolution of the density mesh with the Green's function."""
     n = density.shape[0]
-    dk = jnp.fft.rfftn(density)
-    return jnp.fft.irfftn(dk * gf, s=(n, n, n)).astype(density.dtype)
+    dk = rfft3(density)
+    return irfft3(dk * gf, n, density.dtype)
 
 
 def gradient_4th(phi, boxsize: float):
@@ -91,7 +221,7 @@ def spectral_gradient(phi_k, boxsize: float, n_side: int, dtype):
     shape3 = (n_side, n_side, n_side)
 
     def d(kvec_axis):
-        return jnp.fft.irfftn(1j * kf * kvec_axis * phi_k, s=shape3).astype(dtype)
+        return irfft3(1j * kf * kvec_axis * phi_k, n_side, dtype)
 
     gx = d(l_full[:, None, None])
     gy = d(l_full[None, :, None])
@@ -113,7 +243,7 @@ def pm_accel(pos, gf, mass: float, boxsize: float, n_side: int,
     dens = cic_paint(pos, boxsize, n_side) * (
         mass * (n_side / boxsize) ** 3)
     if gradient == "spectral":
-        phi_k = jnp.fft.rfftn(dens) * gf
+        phi_k = rfft3(dens) * gf
         grad = spectral_gradient(phi_k, boxsize, n_side, dens.dtype)
     else:
         phi = pm_potential(dens, gf)
@@ -160,7 +290,7 @@ def pm_accel_pallas(pos, gf, mass: float, boxsize: float, n_side: int,
     dens = fold_halos(padded, n_side) * (mass * (n_side / boxsize) ** 3)
 
     if gradient == "spectral":
-        phi_k = jnp.fft.rfftn(dens) * gf
+        phi_k = rfft3(dens) * gf
         grad = spectral_gradient(phi_k, boxsize, n_side, dens.dtype)
     else:
         phi = pm_potential(dens, gf)

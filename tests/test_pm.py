@@ -148,3 +148,31 @@ def test_pm_only_green_is_unfiltered():
     cfg2 = cfg.replace(pm_only=False)
     _, acc_f, _ = make_force_fn(cfg2, engine="pm")(pos)
     assert float(acc_f[0, 0]) < 0.9 * newton
+
+
+def test_radix2_fft_matches_numpy():
+    """The >=512-mesh FFT path: recursive radix-2 splits into safe-length
+    XLA FFT ops (pm/solver rfft3/irfft3; avoids the 32x-padded
+    f32[n,n,n/4,4] HLO temp XLA emits for long embedded FFTs -- 16 GB at
+    512^3).  Forced onto small meshes here; must be exact to roundoff."""
+    import photons_tpu.pm.solver as solver
+
+    saved = solver._FFT_SAFE_LEN
+    solver._FFT_SAFE_LEN = 16
+    try:
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((64, 64, 64))
+        got_k = np.asarray(solver.rfft3(jnp.asarray(x)))
+        ref_k = np.fft.rfftn(x)
+        assert np.abs(got_k - ref_k).max() / np.abs(ref_k).max() < 1e-12
+        got_x = np.asarray(solver.irfft3(jnp.asarray(ref_k), 64,
+                                         jnp.float64))
+        assert np.abs(got_x - x).max() / np.abs(x).max() < 1e-12
+        # green-function convolution end-to-end through the forced path
+        gf = green_function(64, L, RS, dtype=jnp.float64)
+        phi = np.asarray(solver.pm_potential(jnp.asarray(x), gf))
+        solver._FFT_SAFE_LEN = 4096
+        phi_ref = np.asarray(solver.pm_potential(jnp.asarray(x), gf))
+        assert np.abs(phi - phi_ref).max() <= 1e-10 * np.abs(phi_ref).max()
+    finally:
+        solver._FFT_SAFE_LEN = saved
