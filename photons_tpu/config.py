@@ -45,6 +45,11 @@ class SimConfig:
     longshort: bool = True              # Ewald long/short split (-DLONGSHORT)
     periodic: bool = True               # -DPERIODIC_CONDITION
     pm_only: bool = False               # PMONLY mode (photoNs.c:70-126)
+    newtonian: bool = False             # static (non-cosmological) stepping:
+    # dk = dd = dt and the scale-factor column carries internal time.  The
+    # reference's driver only integrates in log-a, but its packaged
+    # ic_merger.gdt2 is a z=0 galaxy (header time/boxsize/Omega all zero)
+    # for which comoving stepping is meaningless.
     fused_step: bool = True             # one jit per KDK step; False splits
     # kick/drift | FMM | PM into separate device programs so peak HBM is
     # the max of the stages, not their co-scheduled sum (needed at 256^3
@@ -97,6 +102,15 @@ class SimConfig:
     send_cap_factor: float = 0.5        # migration buffer size / capacity
     pm_patch_factor: float = 1.5        # local PM patch size / uniform brick
                                         # (allowed rebalance growth)
+    surface_leaf_frac: float = 1.0      # open-boundary far-field ring: the
+    # carry ships only leaves within the ghost horizon of the shard's own
+    # brick boundary (the interaction surface; prepare_sendtree2 parity,
+    # remotes.c:337-446) -- this caps that packed buffer at
+    # frac * n_leaf per shard.  The safe default 1.0 can never overflow
+    # (every leaf fits); production meshes should set the measured surface
+    # fraction (ring bytes/stage scale with it; see diag['ring_bytes']).
+    # Small shards (few leaf widths across) are ~all surface, so there is
+    # no universally-safe smaller default.
 
     # --- IO ---------------------------------------------------------------
     code_proj: str = "demo"

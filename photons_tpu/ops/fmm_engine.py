@@ -192,7 +192,11 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
         "overflow": lists.overflow | nbr_overflow,
         # which cap tripped (OVF_OPEN/OVF_M2L/OVF_P2P): the kernel's own
         # neighbor-chunk overflow is a p2p-row condition, so recovery
-        # grows only p2p_neighbor_cap for it
+        # grows only p2p_neighbor_cap for it.  NOTE: at this call site
+        # p2p_pallas runs without a kernel-side neighbor_cap, so
+        # nbr_overflow is constantly False -- the OVF_P2P mapping is live
+        # only for callers that configure a tighter kernel cap (the
+        # traversal's own p2p_cap overflow arrives via lists.overflow_bits)
         "overflow_bits": lists.overflow_bits
         | jnp.where(nbr_overflow, OVF_P2P, 0),
     }
@@ -234,6 +238,11 @@ def scatter_leaf_values(tree: Tree, *leaf_vals):
 
 def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     """PM acceleration at the tree's particles via the Pallas CIC kernels.
+
+    ``gf`` may be the (n, n, n//2+1) Green's-function array or a zero-arg
+    thunk building it in-trace (green_function_traced) -- a captured array
+    is inlined into the HLO constant pool, which at 512^3 exceeds the axon
+    remote compiler's request limit (HTTP 413).
 
     Reuses the engine's Hilbert leaf blocking -- the sort that XLA-side
     ``pm_accel_pallas`` would redo, and the unsort scatter it would add,
@@ -290,6 +299,8 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     # standard-layout materialization before the FFT.
     dens = jax.lax.optimization_barrier(dens.reshape(-1)).reshape(
         n_side, n_side, n_side)
+    if callable(gf):
+        gf = gf()
     phi = pm_potential(dens, gf.astype(dens.dtype))
     grad = gradient_4th(phi, box)
     fields = tuple(pad_periodic(grad[..., c], n_side) for c in range(3))
@@ -302,14 +313,15 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     if k_cap > 0:
         # straddler rows read garbage through their clamped brick origin:
         # overwrite them with an XLA trilinear readout of the same grad
-        # field (delta-add form keeps non-straddler rows bit-identical and
-        # tolerates a partially-filled top_k index set)
+        # field.  where+set keeps non-straddler rows bit-identical (gate
+        # selects the original row) and, unlike a delta-add, stays robust
+        # if a garbage row ever carries NaN/Inf (ADVICE round 2).
         def _fix(acc_leaf):
             svals = cic_read_vector(grad, spos.reshape(-1, 3), box,
                                     n_side).reshape(k_cap, -1, 3)
-            delta = (svals.astype(acc_leaf.dtype) - acc_leaf[sidx]) \
-                * gate[:, None, None]
-            return acc_leaf.at[sidx].add(delta)
+            new = jnp.where(gate[:, None, None],
+                            svals.astype(acc_leaf.dtype), acc_leaf[sidx])
+            return acc_leaf.at[sidx].set(new)
         acc_pm_leaf = jax.lax.cond(n_strad > 0, _fix,
                                    lambda a: a, acc_pm_leaf)
     return acc_pm_leaf, fits_all

@@ -33,6 +33,7 @@ PHASES = (
     "prep",          # tree build + upward pass (dtime_prep)
     "domain",        # decomposition / migration (DTIME_DOMAIN)
     "step",          # whole KDK step
+    "warmup",        # first force computation incl. compile (never a row)
 )
 
 

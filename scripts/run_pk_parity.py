@@ -51,8 +51,22 @@ def main():
                          "16 GB heap; per-window profiling (k=1) was "
                          "measured to OOM the step itself ~3 windows in, "
                          "so production runs profile sparsely")
+    ap.add_argument("--mesh-mult", type=int, default=1,
+                    help="PM mesh side = mesh_mult * n.  The reference "
+                         "pairs a 1-cell-per-particle mesh with rs = 1.25 "
+                         "cells (initial.c:324), which misses the 1e-3 "
+                         "total-force budget (PM aliasing ~2e-3, "
+                         "artifacts/split_geometry.json); mesh_mult 2 with "
+                         "--rs-cells 2.5 keeps the same physical rs and "
+                         "P2P volume while the PM error drops ~5x")
+    ap.add_argument("--rs-cells", type=float, default=1.25,
+                    help="Ewald split radius in PM mesh cells "
+                         "(rs = rs_cells * L / (mesh_mult*n))")
+    # caps pre-sized for z=0 clustering at 256^3 (VERDICT r2 next-7:
+    # p2p rows exceed 160 by z~13 under the old 96 default, costing
+    # elastic-recovery recompiles mid-run; a full run must finish with 0)
     ap.add_argument("--open-cap", type=int, default=128)
-    ap.add_argument("--p2p-cap", type=int, default=96)
+    ap.add_argument("--p2p-cap", type=int, default=192)
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
     ap.add_argument("--sorted", action="store_true", dest="sorted_state",
@@ -84,12 +98,18 @@ def main():
     from photons_tpu.sim import Simulation
 
     n = args.n
+    n_side = args.mesh_mult * n
     cfg = lcdm_config(
-        n_part=n ** 3, n_side=n, leaf_size=args.leaf_size, dtype="float32",
+        n_part=n ** 3, n_side=n_side, leaf_size=args.leaf_size,
+        dtype="float32",
         open_cap_per_node=args.open_cap, p2p_neighbor_cap=args.p2p_cap,
         m2l_cap_per_node=64,
         fused_step=not args.split_step,
         code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
+    cfg = cfg.replace(split_scale=args.rs_cells * cfg.boxsize / n_side)
+    print(f"geometry: mesh {n_side}^3, rs = {args.rs_cells} cells "
+          f"= {cfg.split_radius:.1f} kpc/h, cutoff = "
+          f"{cfg.cutoff_radius:.1f} kpc/h", flush=True)
     if args.theta is not None:
         cfg = cfg.replace(open_angle=args.theta)
     if args.sorted_state or args.list_reuse > 1:
@@ -121,11 +141,23 @@ def main():
     d_f = cosmology.growth_factor(args.a_final, cfg.omega_m, cfg.omega_x)
     linear = float((d_f / d_i) ** 2)
 
+    if sim.recoveries:
+        print(f"WARNING: {sim.recoveries} capacity recoveries during the "
+              f"run -- pre-size caps (final: open="
+              f"{sim.cfg.open_cap_per_node} p2p={sim.cfg.p2p_neighbor_cap} "
+              f"m2l={sim.cfg.m2l_cap_per_node})", flush=True)
+
     out = {
         "n": n, "boxsize": cfg.boxsize, "a_init": a0,
         "a_final": args.a_final, "steps": args.steps,
         "engine": args.engine, "wall_s": wall,
         "s_per_step": wall / args.steps,
+        "mesh_side": n_side, "rs_cells": args.rs_cells,
+        "split_radius": cfg.split_radius,
+        "recoveries": sim.recoveries,
+        "final_caps": {"open": sim.cfg.open_cap_per_node,
+                       "p2p": sim.cfg.p2p_neighbor_cap,
+                       "m2l": sim.cfg.m2l_cap_per_node},
         "k": k_f.tolist(), "n_modes": n_modes.tolist(),
         "pk_init": pk_i.tolist(), "pk_final": pk_f.tolist(),
         "ratio": (pk_f / pk_i).tolist(), "linear": linear,

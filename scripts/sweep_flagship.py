@@ -98,6 +98,11 @@ def main():
                     help="override the per-leaf-size open_cap")
     ap.add_argument("--p2p-cap", type=int, default=0,
                     help="override the per-leaf-size p2p_cap")
+    ap.add_argument("--mesh-mult", type=int, default=1,
+                    help="PM mesh side = mesh_mult * n (split-geometry "
+                         "sweep, VERDICT r2 item 1)")
+    ap.add_argument("--rs-cells", type=float, default=1.25,
+                    help="split radius in PM mesh cells")
     ap.add_argument("--out", default="artifacts")
     args = ap.parse_args()
 
@@ -109,11 +114,16 @@ def main():
     from photons_tpu.models.lcdm import lcdm_config
 
     n = args.n
-    base = lcdm_config(n_part=n ** 3, n_side=n, dtype="float32",
+    n_side = args.mesh_mult * n
+    base = lcdm_config(n_part=n ** 3, n_side=n_side, dtype="float32",
                        fused_step=n < 256, code_proj=f"sweep{n}",
                        sorted_state=args.sorted_state or args.list_reuse > 1,
                        list_reuse=args.list_reuse,
                        output_path=args.out)
+    base = base.replace(split_scale=args.rs_cells * base.boxsize / n_side)
+    print(f"geometry: mesh {n_side}^3, rs = {args.rs_cells} cells = "
+          f"{base.split_radius:.1f} kpc/h, cutoff {base.cutoff_radius:.1f}",
+          flush=True)
     pos, vel = ic_zeldovich(base, seed=2026, spectral_index="lcdm")
 
     # per-leaf-size capacity tuning: smaller leaves -> more neighbors per
@@ -150,9 +160,12 @@ def main():
                 print("  phases:", r["phases"], flush=True)
 
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"sweep_{n}.json")
+    geo = ("" if args.mesh_mult == 1 and args.rs_cells == 1.25
+           else f"_m{args.mesh_mult}r{args.rs_cells:g}")
+    path = os.path.join(args.out, f"sweep_{n}{geo}.json")
     with open(path, "w") as fh:
         json.dump({"n": n, "engine": args.engine, "steps": args.steps,
+                   "mesh_side": n_side, "rs_cells": args.rs_cells,
                    "results": results}, fh, indent=1)
     print(f"wrote {path}")
 

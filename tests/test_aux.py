@@ -106,30 +106,76 @@ def test_elastic_capacity_recovery():
 
 
 def test_elastic_cic_tile_recovery():
-    """A CIC brick-tile overflow must grow cfg.cic_tile (not the traversal
-    caps) and recover to the same trajectory as a generously-tiled run --
-    previously it burned all retries doubling the wrong knobs and raised a
-    misleading traversal-overflow error (ADVICE round 1, medium)."""
+    """A CIC straddler overflow must grow the CIC knobs (straddler cap and
+    tile, not the traversal caps) and the rollback+replay recovery must
+    yield BIT-IDENTICAL state to a fresh run configured with the grown
+    knobs from step 0 -- the actual elastic-recovery guarantee.
+    cic_straddler_cap=0 disables the XLA residual path so the overflow
+    actually fires (with the default cap the handful of wide leaves here
+    is silently absorbed -- that composition is covered by
+    test_cic_recovery_composes_with_residual_path)."""
     rng = np.random.default_rng(11)
     pos = rng.uniform(0, 50.0, (256, 3))
     a1 = 0.02 * 1.05
 
     # leaf_size=64 spreads each Hilbert leaf's particles over most of the
     # box: with an 8-cell brick the CIC footprint cannot fit
-    big = Simulation.from_arrays(
-        _cfg(n_part_total=256, leaf_size=64, cic_backend="pallas"),
-        pos, np.zeros_like(pos), engine="fmm")
-    big.run(n_steps=2, a_final=a1, check_interval=1)
+    cfg0 = _cfg(n_part_total=256, leaf_size=64, cic_backend="pallas",
+                cic_tile=8, cic_straddler_cap=0)
+    tiny = Simulation.from_arrays(cfg0, pos, np.zeros_like(pos),
+                                  engine="fmm")
+    tiny.run(n_steps=2, a_final=a1, check_interval=1)
+    # recovery grew the CIC knobs: the residual cap (primary) and, while
+    # VMEM allows, the brick tile -- never the traversal caps
+    assert tiny.cfg.cic_straddler_cap > 0
+    assert tiny.cfg.cic_tile > 8
+    assert tiny.cfg.open_cap_per_node == cfg0.open_cap_per_node
 
+    # replay determinism: a run configured with the post-recovery knobs
+    # from the start takes the exact same trajectory (same code paths),
+    # so the comparison is bitwise, not merely close
+    fresh = Simulation.from_arrays(tiny.cfg, pos, np.zeros_like(pos),
+                                   engine="fmm")
+    fresh.run(n_steps=2, a_final=a1, check_interval=1)
+    np.testing.assert_array_equal(np.asarray(tiny.state.pos),
+                                  np.asarray(fresh.state.pos))
+
+
+def test_cic_recovery_composes_with_residual_path():
+    """Residual path + elastic recovery compose: with a nonzero (but too
+    small) cic_straddler_cap, straddlers beyond the cap flag cic_overflow;
+    recovery doubles the cap, the residual path absorbs them, and the
+    rollback+replay is bit-identical to a fresh run with the grown knobs.
+    A generously-configured run provides the physics-level cross-check (it
+    routes leaves through different paint paths -- Pallas brick vs XLA
+    residual -- so agreement is at float-roundoff, not bitwise)."""
+    rng = np.random.default_rng(12)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    a1 = 0.02 * 1.05
+
+    # leaf_size=64 over 512 uniform particles -> 8 wide leaves; a cap of 1
+    # absorbs one and overflows on the rest
     tiny = Simulation.from_arrays(
-        _cfg(n_part_total=256, leaf_size=64, cic_backend="pallas",
-             cic_tile=8),
+        _cfg(n_part_total=512, leaf_size=64, cic_backend="pallas",
+             cic_tile=8, cic_straddler_cap=1),
         pos, np.zeros_like(pos), engine="fmm")
     tiny.run(n_steps=2, a_final=a1, check_interval=1)
-    assert tiny.cfg.cic_tile > 8               # the CIC knob was grown
-    assert tiny.cfg.open_cap_per_node == big.cfg.open_cap_per_node
+    assert tiny.cfg.cic_straddler_cap > 1
+    assert tiny.cfg.cic_backend == "pallas"    # never fell back to XLA
+
+    fresh = Simulation.from_arrays(tiny.cfg, pos, np.zeros_like(pos),
+                                   engine="fmm")
+    fresh.run(n_steps=2, a_final=a1, check_interval=1)
+    np.testing.assert_array_equal(np.asarray(tiny.state.pos),
+                                  np.asarray(fresh.state.pos))
+
+    big = Simulation.from_arrays(
+        _cfg(n_part_total=512, leaf_size=64, cic_backend="pallas"),
+        pos, np.zeros_like(pos), engine="fmm")
+    big.run(n_steps=2, a_final=a1, check_interval=1)
     np.testing.assert_allclose(np.asarray(tiny.state.pos),
-                               np.asarray(big.state.pos), rtol=1e-12)
+                               np.asarray(big.state.pos),
+                               rtol=0, atol=1e-6)
 
 
 def test_block_timesteps_match_fixed_when_smooth():

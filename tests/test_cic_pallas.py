@@ -128,6 +128,41 @@ def test_straddler_residual_path_matches_xla():
     assert bool(diag_t["cic_overflow"])
 
 
+def test_mixed_straddler_residual_path_matches_xla():
+    """Mixed regime (ADVICE round 2): mostly fitting leaves with a single
+    straddler -- the Pallas paint must carry the fitting leaves' mass
+    exactly once (no double count with the residual scatter) and the
+    straddler overwrite must not corrupt neighboring non-straddler rows."""
+    from photons_tpu.ops.fmm_engine import fmm_forces
+    from photons_tpu.sim import make_force_fn
+    from photons_tpu.tree.build import build_tree
+
+    rng = np.random.default_rng(5)
+    cfg = SimConfig(boxsize=L, n_side=64, n_part_total=2048, dtype="float32",
+                    leaf_size=16, cic_backend="xla", cic_tile=32,
+                    cic_straddler_cap=8, sorted_state=False)
+    pos = jnp.asarray(rng.uniform(0, L, (2048, 3)), jnp.float32)
+
+    # pin the regime: exactly a few straddlers among many fitting leaves
+    tree = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+    _, fits = brick_origins(tree.pos, tree.mask, 64, 32, L)
+    n_strad = int(jnp.sum(~fits))
+    assert 1 <= n_strad <= 4, f"regime drifted: {n_strad} straddlers"
+    assert int(jnp.sum(fits)) > 100
+
+    acc_x, pm_x, _ = jax.jit(make_force_fn(cfg, "fmm"))(pos)
+    cfg_p = cfg.replace(cic_backend="pallas")
+    (acc_p, pm_p), diag_p = jax.jit(
+        lambda p: fmm_forces(p, cfg_p, pm_gf=green_function(
+            64, L, cfg_p.split_radius, dtype=jnp.float32)))(pos)
+    assert not bool(diag_p["cic_overflow"])
+    scale = float(jnp.abs(pm_x).max())
+    np.testing.assert_allclose(np.asarray(pm_p), np.asarray(pm_x),
+                               rtol=0, atol=3e-5 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
+                               rtol=0, atol=1e-6)
+
+
 def test_brick_overflow_flagged():
     """A too-small tile must flag, not silently drop mass."""
     rng = np.random.default_rng(4)
