@@ -124,6 +124,35 @@ def read_gadget(path: str, num_files: int = 1):
     return head, pos.astype(np.float64), vel.astype(np.float64) * unit
 
 
+def read_particle_text(path: str, n_start: int = 0,
+                       n_count: Optional[int] = None):
+    """SnapFormat 0: whitespace text, one ``x y z vx vy vz`` row per
+    particle (read_Particle_text, snapshot.c:365-394; routed from
+    initial.c:380-386, which requires SnapNumber == 1).
+
+    No header exists in this format, so box geometry and cosmology come
+    from the parameter file, and velocities are taken verbatim (the
+    reference applies no a^1.5 unit here).  Returns (pos, vel) float64.
+    """
+    data = np.loadtxt(path, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None, :]
+    if data.shape[1] != 6:
+        raise ValueError(f"text snapshot {path}: expected 6 columns "
+                         f"(x y z vx vy vz), got {data.shape[1]}")
+    stop = None if n_count is None else n_start + n_count
+    data = data[n_start:stop]
+    return np.ascontiguousarray(data[:, :3]), np.ascontiguousarray(data[:, 3:])
+
+
+def write_particle_text(path: str, pos: np.ndarray) -> None:
+    """SnapFormat 0 write: positions only, one row per particle
+    (write_Particle_text, snapshot.c:505-535 -- the reference writes 3
+    columns even though its reader expects 6; we keep the read side
+    6-column and the write side 3-column for byte parity)."""
+    np.savetxt(path, np.asarray(pos, np.float64), fmt="%f")
+
+
 def write_gadget(path: str, head: GadgetHeader, pos: np.ndarray,
                  vel: np.ndarray, ids: Optional[np.ndarray] = None) -> None:
     """Write one snapshot file (write_Particle_Gadget2, snapshot.c:397-503).

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Run the reference's PACKAGED demo ICs end-to-end (VERDICT r2 missing-1).
+
+The reference's only "test" is `make demo`: the full binary on
+demo/ic_lcdm.gdt2 (1_Indexing/Makefile:53-58).  Rounds 1-2 always
+regenerated equivalent ICs; this script runs the actual packaged bytes:
+
+  lcdm    demo/ic_lcdm.gdt2   (N=32^3, L=100 Mpc/h, z=49, Om=.25)
+          z=49 -> 1 with the demo config; pins P(k) growth vs linear
+          theory, COM drift, and momentum to artifacts/ref_lcdm.json.
+  merger  demo/ic_merger.gdt2 (60000 two-type galaxy, open boundary,
+          header time/box/Omega zero)
+          static Newtonian run (cfg.newtonian); pins per-type COM, rms
+          radius and momentum trajectories to artifacts/ref_merger.json.
+
+Usage:
+    python scripts/run_reference_ics.py --which both
+    python scripts/run_reference_ics.py --which lcdm --steps 10 --cpu
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_DEMO = "/root/reference/1_Indexing/demo"
+
+
+def run_lcdm(args):
+    import jax
+
+    from photons_tpu import cosmology
+    from photons_tpu.diagnostics import power_spectrum
+    from photons_tpu.models.lcdm import lcdm_config
+    from photons_tpu.sim import Simulation
+
+    cfg = lcdm_config(
+        input_path=os.path.join(REF_DEMO, "ic_lcdm.gdt2"),
+        leaf_size=args.leaf_size, dtype=args.dtype,
+        output_path=args.out, code_proj="reflcdm")
+    sim = Simulation.from_config(cfg, engine=args.engine, log=True)
+    cfg = sim.cfg
+    pos0 = np.asarray(sim.state.pos)
+    n = round(cfg.n_part_total ** (1 / 3))
+    a0 = float(sim.state.a)
+    k_i, pk_i, _ = power_spectrum(sim.state.pos, cfg.boxsize, n, n_bins=24)
+    com0 = pos0.mean(0)
+
+    a_f = args.a_final
+    t0 = time.perf_counter()
+    sim.run(n_steps=args.steps, a_final=a_f)
+    wall = time.perf_counter() - t0
+
+    pos1 = np.asarray(sim.state.pos)
+    vel1 = np.asarray(sim.state.vel)
+    k_f, pk_f, n_modes = power_spectrum(sim.state.pos, cfg.boxsize, n,
+                                        n_bins=24)
+    d_i = cosmology.growth_factor(a0, cfg.omega_m, cfg.omega_x)
+    d_f = cosmology.growth_factor(a_f, cfg.omega_m, cfg.omega_x)
+    # min-image COM drift (positions wrap)
+    d = pos1 - pos0
+    d -= cfg.boxsize * np.round(d / cfg.boxsize)
+    out = {
+        "ic": "ic_lcdm.gdt2 (reference packaged bytes)",
+        "n_total": cfg.n_part_total, "boxsize": cfg.boxsize,
+        "a_init": a0, "a_final": a_f, "steps": args.steps,
+        "engine": args.engine, "wall_s": wall,
+        "recoveries": sim.recoveries,
+        "k": k_i.tolist(), "n_modes": n_modes.tolist(),
+        "pk_init": pk_i.tolist(), "pk_final": pk_f.tolist(),
+        "ratio": (pk_f / pk_i).tolist(),
+        "linear": float((d_f / d_i) ** 2),
+        "com_init": com0.tolist(),
+        "com_drift": d.mean(0).tolist(),
+        "momentum_final": vel1.mean(0).tolist(),
+    }
+    path = os.path.join(args.out, "ref_lcdm.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    low = slice(0, 5)
+    print(f"lcdm: linear D^2 = {out['linear']:.2f}; low-k ratios",
+          " ".join(f"{r:.1f}" for r in (pk_f / pk_i)[low]))
+    print(f"COM drift {out['com_drift']} kpc/h; wrote {path}")
+
+
+def run_merger(args):
+    from photons_tpu.models.merger import merger_from_reference
+
+    sim = merger_from_reference(
+        os.path.join(REF_DEMO, "ic_merger.gdt2"), engine=args.engine,
+        log=True, dtype=args.dtype, leaf_size=args.leaf_size,
+        output_path=args.out, code_proj="refmerger")
+    n1 = 40000                       # header npart = (0, 40000, 20000, ...)
+    traj = []
+
+    def record(i, s):
+        pos = np.asarray(s.state.pos)
+        vel = np.asarray(s.state.vel)
+        c = pos.mean(0)
+        row = {"t": float(s.state.a),
+               "com1": pos[:n1].mean(0).tolist(),
+               "com2": pos[n1:].mean(0).tolist(),
+               "rms_r1": float(np.sqrt(((pos[:n1] - pos[:n1].mean(0)) ** 2)
+                                       .sum(-1).mean())),
+               "rms_r2": float(np.sqrt(((pos[n1:] - pos[n1:].mean(0)) ** 2)
+                                       .sum(-1).mean())),
+               "momentum": vel.mean(0).tolist(),
+               "extent": float(np.abs(pos - c).max())}
+        traj.append(row)
+
+    t0 = time.perf_counter()
+    sim.run(n_steps=args.steps, a_final=args.t_final,
+            callback=lambda i, s: record(i, s)
+            if (i + 1) % max(1, args.steps // 10) == 0 else None)
+    wall = time.perf_counter() - t0
+    out = {
+        "ic": "ic_merger.gdt2 (reference packaged bytes)",
+        "n_total": sim.cfg.n_part_total, "boxsize": sim.cfg.boxsize,
+        "mass_part": sim.cfg.mass_part,
+        "t_final": args.t_final, "steps": args.steps,
+        "engine": args.engine, "wall_s": wall,
+        "recoveries": sim.recoveries,
+        "trajectory": traj,
+    }
+    path = os.path.join(args.out, "ref_merger.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"merger: {len(traj)} trajectory rows, final rms_r1="
+          f"{traj[-1]['rms_r1']:.1f} rms_r2={traj[-1]['rms_r2']:.1f} kpc/h")
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--which", choices=["lcdm", "merger", "both"],
+                    default="both")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--a-final", type=float, default=0.5,
+                    help="lcdm end scale factor (0.5 = z=1)")
+    ap.add_argument("--t-final", type=float, default=1.0,
+                    help="merger end time (kpc/(km/s) ~ 0.978 Gyr)")
+    ap.add_argument("--engine", default="fmm")
+    ap.add_argument("--leaf-size", type=int, default=64)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="artifacts")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(args.out, exist_ok=True)
+    if args.which in ("lcdm", "both"):
+        run_lcdm(args)
+    if args.which in ("merger", "both"):
+        run_merger(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,9 @@ def main():
     ap.add_argument("--a-final", type=float, default=None)
     ap.add_argument("--n-part", type=int, default=None)
     ap.add_argument("--dtype", default=None)
-    ap.add_argument("--verbosity", type=int, default=1)
+    ap.add_argument("--verbosity", type=int, default=1,
+                    help="0 silent, 1 banner+summary, 2 echo per-step log "
+                         "rows (reference argv[2], photoNs.c:369-372)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--adaptive", choices=["off", "global", "block"],
                     default="off",
@@ -115,6 +117,11 @@ def main():
     else:
         sim = demo_merger(engine=args.engine, log=True, **overrides)
     cfg = sim.cfg
+    if sim.log is not None:
+        # verbosity 2+: echo every log row to stdout as it is written (the
+        # reference's per-step timer print, photoNs.c:320-333, gated by
+        # its argv[2] verbosity switch, photoNs.c:369-372)
+        sim.log.echo = args.verbosity >= 2
 
     n_steps = args.steps if args.steps is not None else cfg.n_steps
     a_final = args.a_final if args.a_final is not None \

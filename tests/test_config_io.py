@@ -104,3 +104,43 @@ def test_gadget_reads_reference_demo_ic_layout(tmp_path):
     assert struct.unpack_from("<d", buf, 24 + 8)[0] == 1.0     # mass[1]
     assert struct.unpack_from("<d", buf, 24 + 48)[0] == 0.02   # time
     assert struct.unpack_from("<d", buf, 24 + 56)[0] == 49.0   # redshift
+
+
+def test_text_snapshot_roundtrip_and_entry(tmp_path):
+    """SnapFormat 0 text IC (read_Particle_text snapshot.c:365-394, routed
+    via initial.c:380-386): 6-column x y z vx vy vz rows, no header, no
+    velocity unit scaling; write side is 3-column positions
+    (write_Particle_text snapshot.c:505-535)."""
+    from photons_tpu.config import SimConfig
+    from photons_tpu.io.gadget import read_particle_text, write_particle_text
+    from photons_tpu.sim import Simulation
+
+    rng = np.random.default_rng(4)
+    pos = rng.uniform(0, 50.0, (32, 3))
+    vel = rng.normal(size=(32, 3))
+    path = str(tmp_path / "ic.txt")
+    with open(path, "w") as fh:
+        for p, v in zip(pos, vel):
+            fh.write(f"{p[0]} {p[1]} {p[2]} {v[0]} {v[1]} {v[2]}\n")
+
+    p2, v2 = read_particle_text(path)
+    np.testing.assert_allclose(p2, pos, rtol=1e-12)
+    np.testing.assert_allclose(v2, vel, rtol=1e-12)
+    p3, _ = read_particle_text(path, n_start=8, n_count=4)
+    np.testing.assert_allclose(p3, pos[8:12], rtol=1e-12)
+
+    cfg = SimConfig(boxsize=50.0, n_side=16, n_part_total=32,
+                    dtype="float64", snap_format=0, input_path=path)
+    sim = Simulation.from_config(cfg, engine="pm")
+    np.testing.assert_allclose(np.asarray(sim.state.pos), pos, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sim.state.vel), vel, rtol=1e-12)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="SnapNumber"):
+        Simulation.from_config(cfg.replace(snap_number=2))
+
+    out = str(tmp_path / "out.txt")
+    write_particle_text(out, pos)
+    cols = np.loadtxt(out)
+    assert cols.shape == (32, 3)
+    np.testing.assert_allclose(cols, pos, atol=1e-6)
