@@ -11,9 +11,16 @@ compiled program is O(1) in the device count (the round-1 version unrolled
 one traversal per remote domain: O(D) program, a compile-time wall at
 large meshes):
 
-1. **Ring carry**: per-level (centers, widths, counts, moments) plus the
-   leaf particle blocks.  After stage k the carry holds shard (me+k)'s
-   tree.
+1. **Ring carry**: per-level (centers, widths, counts, moments) plus a
+   fixed-capacity packed buffer of SURFACE leaves only -- leaves within
+   the ghost horizon of the sender's own brick boundary, the only ones
+   any receiver can ever ghost (every remote brick lies in the
+   complement of the sender's, so dist(leaf, remote brick) >= dist(leaf,
+   own boundary)).  This is the reference's MAC-pruned send-tree + only
+   in-range bodies (prepare_sendtree2, remotes.c:337-446) made
+   receiver-agnostic; ring bytes/stage scale with the interaction
+   surface, not the shard volume (diag carries the measured carry
+   size).  After stage k the carry holds shard (me+k)'s tree.
 2. **Receiver-side ghost selection**: leaves of the visiting tree whose
    AABB is within horizon H of MY brick are appended to a fixed-capacity
    ghost buffer (their bodies enter the local near-field FMM).  Ghost
@@ -41,6 +48,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from photons_tpu.config import SimConfig
@@ -134,6 +142,36 @@ def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
     ghost_pos0 = jnp.zeros((ghost_leaf_cap, s, 3), dtype)
     ghost_val0 = jnp.zeros((ghost_leaf_cap, s), bool)
 
+    # ---- surface-leaf packing (prepare_sendtree2 parity) -----------------
+    # Only leaves within the horizon of MY OWN brick boundary can ever be
+    # ghosted by a receiver: every remote brick lies in the complement of
+    # mine, so dist(leaf, any remote brick) >= dist(leaf, my boundary).
+    # The ring therefore carries a fixed-capacity packed surface buffer
+    # instead of the whole shard's (n_leaf, S, 3) body blocks -- the
+    # reference ships MAC-pruned trees + only in-range bodies
+    # (remotes.c:337-446); this is the receiver-agnostic equivalent (one
+    # carry serves every hop, so the prune must hold for the CLOSEST
+    # possible receiver = my own boundary).
+    surf_cap = max(1, int(np.ceil(cfg.surface_leaf_frac * tree.n_leaf)))
+    lc = tree.centers[-1]
+    lw = tree.widths[-1]
+    half_in_x = jnp.minimum(lc[:, 0] - 0.5 * lw[:, 0] - xlo,
+                            xhi - lc[:, 0] - 0.5 * lw[:, 0])
+    half_in_y = jnp.minimum(lc[:, 1] - 0.5 * lw[:, 1] - ylo,
+                            yhi - lc[:, 1] - 0.5 * lw[:, 1])
+    depth_in = jnp.maximum(jnp.minimum(half_in_x, half_in_y), 0.0)
+    on_surface = (depth_in <= horizon) & (tree.counts[-1] > 0)
+    sidx = jnp.where(on_surface, jnp.cumsum(on_surface) - 1, surf_cap)
+    surf_ovf = jnp.sum(on_surface) > surf_cap
+    spos0 = jnp.zeros((surf_cap, s, 3), dtype).at[sidx].set(
+        tree.pos, mode="drop")
+    smask0 = jnp.zeros((surf_cap, s), bool).at[sidx].set(
+        tree.mask & on_surface[:, None], mode="drop")
+    scen0 = jnp.zeros((surf_cap, 3), dtype).at[sidx].set(lc, mode="drop")
+    swid0 = jnp.zeros((surf_cap, 3), dtype).at[sidx].set(lw, mode="drop")
+    scnt0 = jnp.zeros((surf_cap,), tree.counts[-1].dtype).at[sidx].set(
+        jnp.where(on_surface, tree.counts[-1], 0), mode="drop")
+
     if d_size == 1:
         locals_per_level = downward_l2l(tree, list(locals_init))
         acc_leaf = leaf_l2p(tree, locals_per_level[-1])
@@ -141,7 +179,8 @@ def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
         acc_all = jnp.zeros((tree.perm.shape[0], 3), flat.dtype)
         acc_all = acc_all.at[tree.perm].set(flat)
         diag = {"n_m2l_far": jnp.sum(far).astype(jnp.int32),
-                "overflow": jnp.asarray(False), "near_mask": near}
+                "overflow": jnp.asarray(False), "near_mask": near,
+                "ring_bytes": jnp.asarray(0, jnp.int32)}
         return (acc_all, ghost_pos0.reshape(-1, 3), ghost_val0.reshape(-1),
                 diag)
 
@@ -155,21 +194,25 @@ def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
         return lax.ppermute(a, axes, perm)
 
     meta0 = (tuple(tree.centers), tuple(tree.widths), tuple(tree.counts),
-             tuple(tree.moments), tree.pos, tree.mask)
+             tuple(tree.moments), spos0, smask0, scen0, swid0, scnt0)
+    carry_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                      for a in jax.tree_util.tree_leaves(meta0))
 
     def stage(carry, k):
         meta, locals_pl, gpos, gval, g_n, n_m2l, ovf = carry
         meta = jax.tree_util.tree_map(rotate, meta)
-        centers_s, widths_s, counts_s, moments_s, leaf_pos, leaf_mask = meta
+        (centers_s, widths_s, counts_s, moments_s,
+         leaf_pos, leaf_mask, scen, swid, scnt) = meta
         src = (me + k) % d_size
         is_near = near[src]
         counts_g = tuple(jnp.where(is_near, c, 0) for c in counts_s)
         moments_g = tuple(jnp.where(is_near, m, 0.0) for m in moments_s)
 
-        # receiver-side ghost selection: visiting leaves inside MY horizon
-        leaf_gap2 = brick_gap2(centers_s[-1], widths_s[-1],
-                               xlo, xhi, ylo, yhi)
-        sel = (leaf_gap2 <= h2) & (counts_g[-1] > 0)
+        # receiver-side ghost selection: visiting SURFACE leaves inside MY
+        # horizon (the carve-out zone below still tests the full metadata,
+        # so any in-zone leaf is provably on the sender's surface)
+        leaf_gap2 = brick_gap2(scen, swid, xlo, xhi, ylo, yhi)
+        sel = (leaf_gap2 <= h2) & (scnt > 0) & is_near
         idx = jnp.cumsum(sel) - 1
         dest = jnp.where(sel, g_n + idx, ghost_leaf_cap)
         gpos = gpos.at[dest].set(leaf_pos, mode="drop")
@@ -199,7 +242,7 @@ def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
 
     carry0 = (meta0, locals_init, ghost_pos0, ghost_val0,
               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-              jnp.asarray(False))
+              surf_ovf)
     (meta, locals_pl, gpos, gval, g_n, n_m2l, overflow), _ = lax.scan(
         stage, carry0, jnp.arange(1, d_size))
 
@@ -212,5 +255,7 @@ def far_field_and_ghosts(tree: Tree, xbounds, ybounds, horizon,
 
     diag = {"n_m2l_far": n_m2l + jnp.sum(far).astype(jnp.int32),
             "overflow": overflow,
-            "near_mask": near}
+            "near_mask": near,
+            "ring_bytes": jnp.asarray(min(carry_bytes, 2**31 - 1),
+                                      jnp.int32)}
     return acc_all, gpos.reshape(-1, 3), gval.reshape(-1), diag

@@ -210,6 +210,10 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
         "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
         "cost": lax.all_gather(my_cost, AXES),
         "n_global": n_global,
+        # far-field ring payload per stage (max over shards): surface-leaf
+        # pruning keeps this prop. to the interaction surface (VERDICT r2
+        # next-8; remotes.c:337-446 parity)
+        "ring_bytes": lax.pmax(fdiag["ring_bytes"], AXES),
     }
     return acc, acc_pm, diag_out
 
@@ -330,6 +334,9 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
     # ---- diagnostics (replicated scalars) -------------------------------
     my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
     cost = lax.all_gather(my_cost, AXES)                   # (Dx*Dy,)
+    # TreePM ring payload = the packed boundary-skin buffer per hop
+    # (parallel/halo.py carries pos + validity in one (cap, 4) array)
+    skin_bytes = ghost_cap * 4 * jnp.dtype(dtype).itemsize
     diag_out = {
         "n_p2p": lax.psum(diag["n_p2p"], AXES),
         "n_m2l": lax.psum(diag["n_m2l"], AXES),
@@ -338,6 +345,7 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
             AXES),
         "cost": cost,
         "n_global": n_global,
+        "ring_bytes": jnp.asarray(min(skin_bytes, 2**31 - 1), jnp.int32),
     }
     return acc, acc_pm, diag_out
 
@@ -427,7 +435,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
                   gf_spec, rep, rep, rep),
         out_specs=(shard, shard, shard, shard, shard, rep, rep,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
-                    "n_global": rep}),
+                    "n_global": rep, "ring_bytes": rep}),
         check_rep=False)
 
     @jax.jit
@@ -450,7 +458,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         in_specs=(shard, shard, rep, rep, gf_spec),
         out_specs=(shard, shard,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
-                    "n_global": rep}),
+                    "n_global": rep, "ring_bytes": rep}),
         check_rep=False)
 
     @jax.jit
@@ -666,22 +674,40 @@ class ShardedSimulation:
     def run(self, n_steps: int, a_final: float,
             snapshot_times=None, log: bool = False,
             checkpoint_path: Optional[str] = None,
-            checkpoint_interval: Optional[int] = None):
+            checkpoint_interval: Optional[int] = None,
+            profile_interval: Optional[int] = 8):
         """Multi-chip KDK loop with per-rank IO parity: per-shard Gadget
         snapshots (snapshot.c:538-549), native checkpoints, and a per-step
         RunLog row with the measured load imbalance (photoNs.c:297-318).
 
         Step wall-clock is honest: ``_check`` host-reads the diagnostics
-        each step, which fences the dispatched computation."""
+        each step, which fences the dispatched computation.
+
+        With ``log=True`` the rows carry the reference's full phase-timer
+        column set (utility.c:8-27): a ShardedPhaseProfiler refreshes the
+        pm/fmm/p2p/m2l/ext columns every ``profile_interval`` steps
+        (TreePM engine; the open-boundary far-field scan has no phase
+        cuts, so those runs log wall/imbalance/counts only)."""
         import time
 
         from photons_tpu import cosmology
         from photons_tpu.diagnostics import imbalance as _imbalance
         from photons_tpu.utils.logging import RunLog
+        from photons_tpu.utils.timers import PhaseTimers
 
         run_log = (RunLog(self.cfg.output_path, self.cfg.code_proj)
                    if log else None)
         snap_left = sorted(snapshot_times or ())
+
+        profiler = None
+        timers = PhaseTimers()
+        if run_log is not None and profile_interval and self.cfg.longshort:
+            from photons_tpu.profiling import ShardedPhaseProfiler
+            profiler = ShardedPhaseProfiler(self.cfg, self.mesh,
+                                            self.p2p_backend)
+            run_log.note(f"phase columns: profiled every "
+                         f"{profile_interval} steps (differenced prefix "
+                         f"programs; see profiling.ShardedPhaseProfiler)")
 
         a0 = float(self.state.a)
         dk, dd = cosmology.step_factors(a0, a_final, n_steps,
@@ -689,6 +715,13 @@ class ShardedSimulation:
         loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
         self.state, diag = self._init_forces(self.state)
         self._check(diag)
+        if profiler is not None:
+            try:
+                profiler.warm(self.state)
+            except Exception as exc:
+                run_log.note(f"WARNING: phase profiler failed to build "
+                             f"({type(exc).__name__}); phase columns zero")
+                profiler = None
         for i in range(n_steps):
             t0 = time.perf_counter()
             a_now = float(np.exp(loga[i + 1]))
@@ -696,12 +729,20 @@ class ShardedSimulation:
                                           float(dd[i]), a_now)
             self._check(diag)                    # host-read: completion fence
             wall = time.perf_counter() - t0
+            if profiler is not None and i % profile_interval == 0:
+                try:
+                    profiler.profile(self.state, timers)
+                except Exception as exc:
+                    run_log.note(f"WARNING: phase profile failed at step "
+                                 f"{i} ({type(exc).__name__}); columns "
+                                 f"stale from the last successful profile")
             if run_log is not None:
                 run_log.log_step(
-                    i, a_now, {"step": wall},
+                    i, a_now, {**timers.latest(), "step": wall},
                     imbalance=_imbalance(self.last_diag["cost"]),
                     n_p2p=int(self.last_diag["n_p2p"]),
-                    n_m2l=int(self.last_diag["n_m2l"]))
+                    n_m2l=int(self.last_diag["n_m2l"]),
+                    level=getattr(self, "max_adaptive_level", 0))
             while snap_left and a_now >= snap_left[0] - 1e-12:
                 self.write_snapshot(snap_left.pop(0))
             if (checkpoint_interval and checkpoint_path

@@ -57,10 +57,14 @@ class PhaseProfiler:
     def _build_pm(self, cfg):
         self.f_pm_tree = None
         if cfg.longshort or cfg.pm_only:
-            from photons_tpu.pm.solver import green_function, pm_accel
-            gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
-                                deconvolve=not cfg.pm_only,
-                                dtype=jnp.dtype(cfg.dtype))
+            from functools import partial
+
+            from photons_tpu.pm.solver import green_function_traced, pm_accel
+            # built in-trace: a captured gf array inlines ~270 MB of HLO
+            # constants at 512^3 (axon remote compile rejects it, HTTP 413)
+            gf = partial(green_function_traced, cfg.n_side, cfg.boxsize,
+                         cfg.split_radius, deconvolve=not cfg.pm_only,
+                         dtype=jnp.dtype(cfg.dtype))
             use_pallas_cic = (self.engine.startswith("fmm")
                               and cfg.longshort
                               and (cfg.cic_backend == "pallas"
@@ -77,7 +81,7 @@ class PhaseProfiler:
                 self.f_pm = None
                 return
             self.f_pm = _aot(jax.jit(lambda pos: pm_accel(
-                pos, gf, mass=cfg.particle_mass, boxsize=cfg.boxsize,
+                pos, gf(), mass=cfg.particle_mass, boxsize=cfg.boxsize,
                 n_side=cfg.n_side)))
         else:
             self.f_pm = _aot(jax.jit(lambda pos: jnp.zeros_like(pos)))
@@ -168,3 +172,154 @@ class PhaseProfiler:
             run("pm", self.f_pm_tree, tree)
         else:
             run("pm", self.f_pm, pos)
+
+
+class ShardedPhaseProfiler:
+    """Per-phase timing for the sharded TreePM step (sharded log parity
+    with the reference's per-step row, utility.c:8-27).
+
+    The production sharded step is one shard_map-ed jit; phases cannot be
+    bracketed inside it.  This profiler re-runs the same per-shard pieces
+    (parallel/step._force_shard internals) as CUMULATIVE prefix programs --
+    halo; +tree build; +traversal; +M2L; +P2P; +unsort scatter -- each a
+    separately-jitted shard_map returning one per-shard checksum, and
+    reports successive differences.  Intermediates (Tree, InteractionLists)
+    therefore never cross a shard_map boundary: their scalar leaves cannot
+    concatenate across shards.  Differencing costs O(k^2/2) recompute per
+    profile and is noisy at the ~10 ms scale, so columns refresh sparsely
+    (ShardedSimulation.run profile_interval); negative jitter clamps to 0.
+
+    TreePM (longshort) only -- the open-boundary engine's far-field ring
+    is a single fused scan with no natural phase cuts.
+    """
+
+    #: cumulative stages, in per-shard execution order
+    _STAGES = ("ext", "prep", "task", "m2l", "p2p_self", "p2p_update")
+
+    def __init__(self, cfg: SimConfig, mesh, p2p_backend: str = "jnp"):
+        if not cfg.longshort:
+            raise ValueError("ShardedPhaseProfiler supports the TreePM "
+                             "(longshort) engine only")
+        self.cfg = cfg
+        self.p2p_backend = p2p_backend
+        from photons_tpu.parallel.step import as_grid_mesh
+        self.mesh = as_grid_mesh(mesh, cfg)
+        self._built_for = None          # per-shard capacity the fns expect
+
+    def _build(self, cap: int):
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+
+        from photons_tpu.ops.fmm_engine import (apply_m2l, downward_l2l,
+                                                leaf_l2p, p2p_jnp)
+        from photons_tpu.ops.traversal import dual_tree_traversal
+        from photons_tpu.parallel.fft import green_function_pencil2d
+        from photons_tpu.parallel.halo import gather_ghosts_2d
+        from photons_tpu.parallel.step import (AXES, AXX, AXY, _pm_shard,
+                                               shard_map)
+        from photons_tpu.tree.build import build_tree
+
+        cfg = self.cfg
+        mesh = self.mesh
+        dx, dy = mesh.devices.shape
+        box = cfg.boxsize
+        ghost_cap = int(cap * cfg.ghost_cap_factor)
+
+        def hops(n_axis):
+            if n_axis == 1:
+                return 0
+            w = box / n_axis
+            return min(n_axis - 1,
+                       max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+        hops_x, hops_y = hops(dx), hops(dy)
+
+        dtype = jnp.dtype(cfg.dtype)
+        self._gf = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
+                                           dtype, dy)
+        gf_spec = P(None, AXX, AXY)
+        shard, rep = P(AXES), P()
+        rs = cfg.split_radius
+        pbox = box if cfg.periodic else None
+
+        def prefix(upto: int):
+            def per_shard(pos, valid, xb, yb):
+                gpos, gval, _, _ = gather_ghosts_2d(
+                    pos, valid, xb, yb, cfg.cutoff_radius, box, ghost_cap,
+                    hops_x, hops_y, AXX, AXY)
+                chk = jnp.sum(gpos[:, 0])
+                if upto >= 1:
+                    pos_all = jnp.concatenate([pos, gpos])
+                    val_all = jnp.concatenate([valid, gval])
+                    tree = build_tree(pos_all, mass=cfg.particle_mass,
+                                      leaf_size=cfg.leaf_size, lo=0.0,
+                                      hi=box, valid=val_all)
+                    chk = chk + jnp.sum(tree.moments[-1][:, 0])
+                if upto >= 2:
+                    lists = dual_tree_traversal(
+                        tree, theta=cfg.open_angle, cutoff=cfg.cutoff_radius,
+                        boxsize=pbox, open_cap=cfg.open_cap_per_node,
+                        m2l_cap=cfg.m2l_cap_per_node,
+                        p2p_cap=cfg.p2p_neighbor_cap,
+                        adjacency_eps=1e-9 * box)
+                    chk = chk + lists.p2p_count.astype(chk.dtype)
+                if upto >= 3:
+                    loc = apply_m2l(tree, lists, rs, pbox)
+                    loc = downward_l2l(tree, loc)
+                    acc_leaf = leaf_l2p(tree, loc[-1])
+                    chk = chk + jnp.sum(acc_leaf[..., 0])
+                if upto >= 4:
+                    acc_p2p = p2p_jnp(tree, lists, cfg.particle_mass,
+                                      cfg.soften_scale, rs, pbox)
+                    acc_leaf = acc_leaf + acc_p2p
+                    chk = chk + jnp.sum(acc_p2p[..., 0])
+                if upto >= 5:
+                    flat = jnp.where(tree.mask[..., None], acc_leaf, 0.0
+                                     ).reshape(-1, 3)
+                    acc = jnp.zeros((tree.perm.shape[0], 3), flat.dtype
+                                    ).at[tree.perm].set(flat)
+                    chk = chk + jnp.sum(acc[:cap, 0])
+                return chk.reshape(1)
+            return jax.jit(shard_map(
+                per_shard, mesh=mesh, in_specs=(shard, shard, rep, rep),
+                out_specs=P(AXES), check_rep=False))
+
+        self._prefix_fns = [prefix(k) for k in range(len(self._STAGES))]
+
+        def pm_shard_fn(pos, valid, xb, yb, gf_local):
+            acc_pm, _ = _pm_shard(pos, valid, xb, yb, gf_local, cfg)
+            return jnp.sum(acc_pm[:, 0]).reshape(1)
+        self._pm_fn = jax.jit(shard_map(
+            pm_shard_fn, mesh=mesh,
+            in_specs=(shard, shard, rep, rep, gf_spec),
+            out_specs=P(AXES), check_rep=False))
+        self._built_for = cap
+
+    def warm(self, state) -> None:
+        self.profile(state, PhaseTimers())
+
+    def profile(self, state, timers: PhaseTimers) -> None:
+        """One phase-differenced profile of the sharded force computation.
+
+        ``state``: a parallel.step.ShardedState (pos/valid sharded over the
+        mesh, replicated bounds)."""
+        import time as _t
+
+        d = int(self.mesh.devices.size)
+        cap = state.pos.shape[0] // d
+        if self._built_for != cap:
+            self._build(cap)
+
+        spans = []
+        for fn in self._prefix_fns:
+            t0 = _t.perf_counter()
+            out = fn(state.pos, state.valid, state.xbounds, state.ybounds)
+            _fence(out)
+            spans.append(_t.perf_counter() - t0)
+        for name, t_hi, t_lo in zip(self._STAGES, spans, [0.0] + spans[:-1]):
+            timers.add(name, max(0.0, t_hi - t_lo))
+        timers.add("fmm", spans[-1])
+        t0 = _t.perf_counter()
+        out = self._pm_fn(state.pos, state.valid, state.xbounds,
+                          state.ybounds, self._gf)
+        _fence(out)
+        timers.add("pm", _t.perf_counter() - t0)

@@ -286,12 +286,22 @@ def test_sharded_run_io_and_log(mesh, tmp_path):
     np.testing.assert_allclose(p_r[key(p_r)], p_live[key(p_live)],
                                atol=1e-4)          # float32 on disk
 
-    # run log: rows with nonzero counters and a sane imbalance column
+    # run log: the reference's full per-step column set (utility.c:8-27;
+    # VERDICT r2 next-10) -- step, ADAPTIVE LEVEL, a, imbalance, the phase
+    # timer columns (profiled, so pm/fmm are real nonzero times), counters
     rows = [l.split() for l in open(tmp_path / "LOGshardy.TXT")
             if not l.startswith("#")]
     assert len(rows) == 2
     assert int(rows[-1][-2]) > 0                    # n_p2p
-    assert 0.0 <= float(rows[-1][2]) < 1.0          # imbalance
+    assert int(rows[-1][1]) == 0                    # level (fixed stepping)
+    assert 0.0 <= float(rows[-1][3]) < 1.0          # imbalance
+    header = [l for l in open(tmp_path / "LOGshardy.TXT")
+              if l.startswith("# step")][0].split()[1:]
+    row = dict(zip(header, rows[-1]))
+    assert float(row["pm"]) > 0.0                   # profiled phase columns
+    assert float(row["fmm"]) > 0.0
+    assert float(row["ext"]) > 0.0                  # halo ring
+    assert float(row["step_time"]) > 0.0
 
     # checkpoint: 8 shard files; resume reproduces the particle multiset
     sim2 = ShardedSimulation.resume_from_checkpoint(str(tmp_path / "ck"),
@@ -336,6 +346,21 @@ def test_sharded_open_boundary_forces_match_direct(mesh42):
     rms = float(np.sqrt((np.asarray(ref) ** 2).sum(-1)).mean())
     err = np.sqrt(((acc - np.asarray(ref)) ** 2).sum(-1))
     assert np.sqrt((err ** 2).mean()) / rms < 1e-3
+
+    # surface-leaf ring pruning (VERDICT r2 next-8; remotes.c:337-446):
+    # a capped carry (half the leaves) must ship strictly fewer bytes per
+    # ring stage and reproduce the forces bit-for-bit -- every ghosted
+    # leaf is provably within the horizon of its sender's brick boundary,
+    # so the pruned buffer delivers the identical ghost set
+    full_bytes = int(np.asarray(diag["ring_bytes"]))
+    sim_s = ShardedSimulation.from_arrays(
+        cfg.replace(surface_leaf_frac=0.5), mesh42, pos,
+        np.zeros_like(pos))
+    state_s, diag_s = sim_s._init_forces(sim_s.state)
+    assert not int(np.asarray(diag_s["overflow"]))
+    assert int(np.asarray(diag_s["ring_bytes"])) < full_bytes
+    np.testing.assert_array_equal(
+        np.asarray(state_s.acc)[np.asarray(state_s.valid)], acc)
 
 
 @pytest.mark.slow
