@@ -23,12 +23,15 @@ read-modify-write brick updates never race.  Readout is the transpose:
 gather the gradient brick, M = brick . Wz^T, then a row-wise contraction
 with (Wx (x) Wy).
 
-Axis layout: x/y are the brick-sliced dims and carry a HALO-cell periodic
-margin (folded/padded outside the kernels); z spans the full mesh axis as
-the lane dimension and wraps INSIDE the weight matrix (the two CIC
-entries are placed at wrapped cell indices), so the z extent is exactly
-n_side lanes -- at 256^3 this cuts the per-brick DMA + contraction width
-from 384 padded lanes to 256.
+Axis layout: every axis carries a HALO-cell periodic margin
+(folded/padded outside the kernels).  x/y are the brick-sliced dims; z is
+the lane dimension, sliced to a _z_tile-cell WINDOW at a 128-aligned
+origin (Mosaic accepts dynamic lane-dim DMA offsets only with a
+pl.multiple_of(., 128) hint).  A 256-lane window at a 128-aligned origin
+contains any leaf footprint up to 127 z cells wherever it falls -- at a
+512^3 mesh this cuts the per-brick DMA + contraction width from 640
+padded lanes to 256 (2.5x on both HBM traffic and MXU flops; meshes
+<= 248 use the whole padded axis as before).
 
 Readout double-buffers the brick DMA across gradient components AND grid
 steps, so every contraction overlaps the next fetch.  (Lane-fusing the
@@ -77,35 +80,48 @@ def effective_tile(n_side: int, tile: int) -> int:
 
 
 def _mesh_dims(n_side: int):
-    """Padded mesh dims.  x/y carry the 2H halo (plus dim-1 sublane
-    rounding); z has NO halo -- the wrap lives in the z weight matrix --
-    so it is just n_side rounded up to the 128-lane tile (exact at
-    production sizes: 128^3, 256^3)."""
+    """Padded mesh dims: every axis carries the 2H periodic halo; y
+    rounds to the 8-sublane tile and z to the 128-lane tile.
+
+    z used to be halo-free (wrap in the weight matrix, full-z bricks),
+    but at a 512^3 mesh the full-z column made every brick DMA and MXU
+    contraction 640 lanes wide -- ~1 TB of DMA and ~66 Tflop per read
+    pass.  Bricks are now z-WINDOWED (_z_tile cells at a 128-aligned
+    origin), which needs real z ghost planes like x/y."""
     logical = n_side + 2 * HALO
     npx = logical
     npy = -(-logical // 8) * 8
-    npz = -(-n_side // 128) * 128
+    npz = -(-logical // 128) * 128
     return logical, npx, npy, npz
+
+
+def _z_tile(n_side: int) -> int:
+    """Brick z-window size: Mosaic requires 128-aligned dynamic lane
+    offsets, so a 256-cell window at a 128-aligned origin contains any
+    leaf footprint up to 127 z cells regardless of where it falls."""
+    _, _, _, npz = _mesh_dims(n_side)
+    return min(256, npz)
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _z_weights(coord, inv_delta, n: int, npz: int, wts=None):
-    """Full-axis z CIC weight matrix (S, npz) with PERIODIC placement:
-    rows have (1-f) at i mod n and f at (i+1) mod n.  The wrap makes a z
-    halo unnecessary, so npz is just n rounded to the lane tile."""
+def _z_weights(coord, inv_delta, oz, tz: int, wts=None):
+    """Window-relative z CIC weight matrix (S, tz).
+
+    ``coord`` is the HALO-shifted z coordinate (like x/y); ``oz`` the
+    brick's 128-aligned padded z origin.  No wrap: the mesh carries real
+    z ghost planes (fold_halos / pad_periodic), so rows are simply
+    (1-f) at i-oz and f at i-oz+1, clipped into the window (out-of-window
+    rows belong to non-fitting leaves whose results are discarded)."""
     u = coord * inv_delta - 0.5
     c = jnp.floor(u)
     f = (u - c).astype(coord.dtype)
-    i = c.astype(jnp.int32)
-    # positions live in [0, L): i in [-1, n-1], i+1 in [0, n]
-    i0 = jnp.where(i < 0, i + n, i)
-    i1 = jnp.where(i + 1 >= n, i + 1 - n, i + 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], npz), 1)
+    i0 = jnp.clip(c.astype(jnp.int32) - oz, 0, tz - 2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (coord.shape[0], tz), 1)
     w = jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
-    w = w + jnp.where(iota == i1[:, None], f[:, None], 0.0)
+    w = w + jnp.where(iota == i0[:, None] + 1, f[:, None], 0.0)
     if wts is not None:
         w = w * wts[:, None]
     return w
@@ -138,25 +154,29 @@ _DN_CONTRACT_0 = (((0,), (0,)), ((), ()))    # (S, A)^T . (S, B) -> (A, B)
 _DN_CONTRACT_1 = (((1,), (1,)), ((), ()))    # (A, K) . (B, K)^T -> (A, B)
 
 
+def _unpack_origin(packed):
+    ox = packed >> 20
+    oy = pl.multiple_of(((packed >> 10) & 0x3FF) * 8, 8)
+    oz = pl.multiple_of((packed & 0x3FF) * 128, 128)
+    return ox, oy, oz
+
+
 def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
                   out_ref, brick, sem_in, sem_out, *,
-                  t: int, n: int, npz: int, inv_delta: float):
+                  t: int, tz: int, inv_delta: float):
     i = pl.program_id(0)
-    packed = origins[i]
-    ox = packed >> 16
-    oy = (packed & 0xFFFF) * 8  # stored /8: provably 8-aligned for Mosaic
+    ox, oy, oz = _unpack_origin(origins[i])
 
     cp_in = pltpu.make_async_copy(
-        out_ref.at[pl.ds(ox, t), pl.ds(oy, t), :], brick, sem_in)
+        out_ref.at[pl.ds(ox, t), pl.ds(oy, t), pl.ds(oz, tz)], brick, sem_in)
     cp_in.start()
 
     xy = _xy_weights(px_ref[0, 0, :], py_ref[0, 0, :], inv_delta, ox, oy, t)
-    # z bricks span the full axis with in-matrix periodic wrap; the
-    # weights carry the particle masses
-    wz = _z_weights(pz_ref[0, 0, :], inv_delta, n, npz,
+    # window-relative z weights; they carry the particle masses
+    wz = _z_weights(pz_ref[0, 0, :], inv_delta, oz, tz,
                     wts=wt_ref[0, 0, :])
 
-    # (t*t, npz) = sum_s xy[s, :] (x) wz[s, :] -- one MXU contraction
+    # (t*t, tz) = sum_s xy[s, :] (x) wz[s, :] -- one MXU contraction
     add = jax.lax.dot_general(xy, wz, _DN_CONTRACT_0,
                               preferred_element_type=jnp.float32,
                               precision=_DOT_PRECISION)
@@ -164,7 +184,8 @@ def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
     for r in range(t):                       # row-sliced: no 3-D reshape
         brick[r] += add[r * t:(r + 1) * t, :].astype(brick.dtype)
     cp_out = pltpu.make_async_copy(
-        brick, out_ref.at[pl.ds(ox, t), pl.ds(oy, t), :], sem_out)
+        brick, out_ref.at[pl.ds(ox, t), pl.ds(oy, t), pl.ds(oz, tz)],
+        sem_out)
     cp_out.start()
     cp_out.wait()
 
@@ -175,23 +196,23 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
 
     leaf_pos (nleaf, S, 3) absolute positions (padding slots anywhere,
     weight 0); leaf_wts (nleaf, S); origins (nleaf,) packed int32 brick
-    corners in PADDED x/y cell coordinates.  Returns (npx, npy, npz) f32
-    with x/y halos and in-matrix-wrapped z (see _mesh_dims).
+    corners in PADDED cell coordinates.  Returns (npx, npy, npz) f32
+    with periodic halos on every axis (see _mesh_dims).
     """
     n_leaf, s = leaf_wts.shape
     logical, npx, npy, npz = _mesh_dims(n_side)
+    tz = _z_tile(n_side)
     delta = boxsize / n_side
-    kernel = functools.partial(_paint_kernel, t=tile, n=n_side, npz=npz,
+    kernel = functools.partial(_paint_kernel, t=tile, tz=tz,
                                inv_delta=1.0 / delta)
 
-    # x/y shifted so padded cell index = floor(u) + HALO >= 0; z stays in
-    # mesh coordinates (the z weights wrap in-matrix, no halo)
+    # all axes shifted so padded cell index = floor(u) + HALO >= 0
     shift = HALO * delta
     # (nleaf, 1, S) pages: (1, 1, S) blocks satisfy the (8, 128) tiling
     # rule through dim equality (same trick as the indexing P2P kernel)
     px = (leaf_pos[:, :, 0] + shift)[:, None, :]
     py = (leaf_pos[:, :, 1] + shift)[:, None, :]
-    pz = leaf_pos[:, :, 2][:, None, :]
+    pz = (leaf_pos[:, :, 2] + shift)[:, None, :]
     wts3 = leaf_wts[:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -206,7 +227,7 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile, npz), jnp.float32),
+            pltpu.VMEM((tile, tile, tz), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -224,29 +245,25 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
 
 
 def _read_kernel(origins, px_ref, py_ref, pz_ref, gx_ref, gy_ref, gz_ref,
-                 out_ref, bricks, sems, *, t: int, n: int, npz: int,
+                 out_ref, bricks, sems, *, t: int, tz: int,
                  inv_delta: float, num_leaves: int):
     i = pl.program_id(0)
     g_refs = (gx_ref, gy_ref, gz_ref)
 
     def fetch(slot, idx, c):
-        packed = origins[idx]
-        ox = packed >> 16
-        oy = (packed & 0xFFFF) * 8      # stored /8: 8-aligned for Mosaic
+        ox, oy, oz = _unpack_origin(origins[idx])
         return pltpu.make_async_copy(
-            g_refs[c].at[pl.ds(ox, t), pl.ds(oy, t), :], bricks.at[slot],
-            sems.at[slot])
+            g_refs[c].at[pl.ds(ox, t), pl.ds(oy, t), pl.ds(oz, tz)],
+            bricks.at[slot], sems.at[slot])
 
     @pl.when(i == 0)
     def _():
         fetch(0, 0, 0).start()
 
     # weight build overlaps the in-flight brick DMA
-    packed = origins[i]
-    ox = packed >> 16
-    oy = (packed & 0xFFFF) * 8
+    ox, oy, oz = _unpack_origin(origins[i])
     xy = _xy_weights(px_ref[0, 0, :], py_ref[0, 0, :], inv_delta, ox, oy, t)
-    wz = _z_weights(pz_ref[0, 0, :], inv_delta, n, npz)
+    wz = _z_weights(pz_ref[0, 0, :], inv_delta, oz, tz)
 
     # per-component double-buffered pipeline: while component c's brick
     # is contracted, component c+1's (or the next leaf's first) brick is
@@ -262,8 +279,8 @@ def _read_kernel(origins, px_ref, py_ref, pz_ref, gx_ref, gy_ref, gz_ref,
             def _():
                 fetch((slot + 1) % 2, i + 1, 0).start()
         fetch(slot, i, c).wait()
-        # (t*t, npz) via sublane concat (Mosaic rejects the 3-D reshape);
-        # then one full-width MXU dot: C[s, z] = sum_ij xy[s,ij] brick[ij,z]
+        # (t*t, tz) via sublane concat (Mosaic rejects the 3-D reshape);
+        # then one window-width MXU dot: C[s, z] = sum_ij xy[s,ij] brick[ij,z]
         flat = jnp.concatenate([bricks[slot, r] for r in range(t)], axis=0)
         cz = jax.lax.dot_general(xy, flat, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
@@ -282,13 +299,14 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
     """
     n_leaf, s = leaf_pos.shape[:2]
     logical, npx, npy, npz = _mesh_dims(n_side)
+    tz = _z_tile(n_side)
     delta = boxsize / n_side
-    kernel = functools.partial(_read_kernel, t=tile, n=n_side, npz=npz,
+    kernel = functools.partial(_read_kernel, t=tile, tz=tz,
                                inv_delta=1.0 / delta, num_leaves=n_leaf)
     shift = HALO * delta
     px = (leaf_pos[:, :, 0] + shift)[:, None, :]
     py = (leaf_pos[:, :, 1] + shift)[:, None, :]
-    pz = leaf_pos[:, :, 2][:, None, :]
+    pz = (leaf_pos[:, :, 2] + shift)[:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -303,7 +321,7 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
         ],
         out_specs=pl.BlockSpec((1, 3, s), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, tile, npz), jnp.float32),
+            pltpu.VMEM((2, tile, tile, tz), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -332,7 +350,8 @@ def brick_origins(leaf_pos, leaf_mask, n_side: int, tile: int,
     """
     delta = boxsize / n_side
     logical, npx, npy, npz = _mesh_dims(n_side)
-    u = leaf_pos[:, :, :2] / delta - 0.5
+    tz = _z_tile(n_side)
+    u = leaf_pos / delta - 0.5
     c = jnp.floor(u).astype(jnp.int32) + HALO          # padded cell coords
     big = jnp.iinfo(jnp.int32).max
     cmin = jnp.min(jnp.where(leaf_mask[:, :, None], c, big), axis=1)
@@ -340,26 +359,29 @@ def brick_origins(leaf_pos, leaf_mask, n_side: int, tile: int,
     any_p = jnp.any(leaf_mask, axis=1)
     cmin = jnp.where(any_p[:, None], cmin, 0)
     cmax = jnp.where(any_p[:, None], cmax, 0)
-    lim = jnp.asarray([npx - tile, npy - tile], jnp.int32)
+    lim = jnp.asarray([npx - tile, npy - tile, npz - tz], jnp.int32)
     origin = jnp.clip(cmin, 0, lim[None, :])
-    # dim 1 (y) is a sublane-tiled HBM axis: Mosaic requires the DMA slice
-    # offset to be 8-aligned there (dim 0 is untiled, z is sliced fully)
+    # Mosaic DMA slice alignment on tiled HBM axes: dim 1 (y, sublane)
+    # must be 8-aligned, dim 2 (z, lane) 128-aligned; dim 0 is untiled
     origin = origin.at[:, 1].set((origin[:, 1] // 8) * 8)
+    origin = origin.at[:, 2].set((origin[:, 2] // 128) * 128)
     # the brick must cover every touched cell (cmin .. cmax + 1)
-    fits = jnp.all(cmax + 1 - origin <= tile - 1, axis=1) | ~any_p
-    # pack (ox, oy/8) into one int32: a 2-column SMEM prefetch operand
-    # lane-pads 2 -> 128 (32 MB); a 1-D vector stays compact
-    packed = (origin[:, 0] << 16) | (origin[:, 1] // 8)
+    span = jnp.asarray([tile, tile, tz], jnp.int32)
+    fits = jnp.all(cmax + 1 - origin <= span[None, :] - 1, axis=1) | ~any_p
+    # pack (ox, oy/8, oz/128) into one int32: a 3-column SMEM prefetch
+    # operand lane-pads 3 -> 128; a 1-D vector stays compact.  Bit budget
+    # (meshes to ~4000): ox 12 bits, oy/8 10 bits, oz/128 10 bits.
+    packed = ((origin[:, 0] << 20) | ((origin[:, 1] // 8) << 10)
+              | (origin[:, 2] // 128))
     return packed, fits
 
 
 def fold_halos(padded, n_side: int):
-    """Fold the periodic x/y halos of a painted padded mesh -> (n,)^3.
-    z needs no fold: the paint kernel's z weights wrap in-matrix."""
+    """Fold the periodic halos of a painted padded mesh -> (n,)^3."""
     h, n = HALO, n_side
     logical = n + 2 * h
-    m = padded[:logical, :logical, :n]
-    for ax in range(2):
+    m = padded[:logical, :logical, :logical]
+    for ax in range(3):
         lo = jax.lax.slice_in_dim(m, 0, h, axis=ax)
         hi = jax.lax.slice_in_dim(m, n + h, n + 2 * h, axis=ax)
         core = jax.lax.slice_in_dim(m, h, n + h, axis=ax)
@@ -376,10 +398,9 @@ def _add_at(arr, add, lo, hi, ax):
 
 
 def pad_periodic(field, n_side: int):
-    """Periodic x/y halo pad of an (n,)^3 field, zero-extended to the
-    Mosaic-tiled mesh dims.  z is not padded (the read kernel's z weights
-    wrap in-matrix)."""
+    """Periodic halo pad of an (n,)^3 field on every axis, zero-extended
+    to the Mosaic-tiled mesh dims."""
     logical, npx, npy, npz = _mesh_dims(n_side)
-    f = jnp.pad(field, ((HALO, HALO), (HALO, HALO), (0, 0)), mode="wrap")
+    f = jnp.pad(field, ((HALO, HALO),) * 3, mode="wrap")
     return jnp.pad(f, ((0, npx - logical), (0, npy - logical),
-                       (0, npz - n_side)))
+                       (0, npz - logical)))

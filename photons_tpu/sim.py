@@ -566,10 +566,11 @@ class Simulation:
             # immune to tile growth (ADVICE round 2)
             cap_new = max(8, self.cfg.cic_straddler_cap * 2)
             t_new = self.cfg.cic_tile + 8
-            # read kernel scratch: (2, t, t, npz) f32 double-buffered
-            # bricks plus ~3x t*t*npz of weight/contraction temps
-            npz = -(-self.cfg.n_side // 128) * 128
-            scoped = (2 + 3) * t_new * t_new * npz * 4
+            # read kernel scratch: (2, t, t, tz) f32 double-buffered
+            # bricks plus ~3x t*t*tz of weight/contraction temps
+            from photons_tpu.pm.cic_pallas import _z_tile
+            tz = _z_tile(self.cfg.n_side)
+            scoped = (2 + 3) * t_new * t_new * tz * 4
             tile_capped = scoped > 12 * 1024 * 1024
             # past 512 residual leaves the XLA scatter dominates the paint
             # anyway -- switch the whole backend rather than keep a Pallas

@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--leaf-size", type=int, default=256)
     ap.add_argument("--chain", type=int, default=6)
+    ap.add_argument("--mesh-mult", type=int, default=1,
+                    help="PM mesh side = mesh_mult * n (split-geometry)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -72,17 +74,18 @@ def main():
     from photons_tpu.pm.cic_pallas import (brick_origins, effective_tile,
                                            fold_halos, pad_periodic,
                                            paint_leaves, read_leaves)
-    from photons_tpu.pm.solver import (gradient_4th, green_function,
+    from photons_tpu.pm.solver import (gradient_4th, green_function_traced,
                                        pm_potential)
 
     n = args.n
-    cfg = lcdm_config(n_part=n ** 3, n_side=n, leaf_size=args.leaf_size,
-                      dtype="float32")
+    cfg = lcdm_config(n_part=n ** 3, n_side=args.mesh_mult * n,
+                      leaf_size=args.leaf_size, dtype="float32")
     pos, _ = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")
     tree = build_tree(jnp.asarray(pos, jnp.float32), mass=cfg.particle_mass,
                       leaf_size=cfg.leaf_size, lo=0.0, hi=cfg.boxsize)
-    gf = green_function(cfg.n_side, cfg.boxsize, cfg.split_radius,
-                        dtype=jnp.float32)
+    # built in-trace: a captured 512^3 gf array inlines ~270 MB of HLO
+    # literal (remote compile rejects it, HTTP 413)
+    gf = None
     box, n_side = cfg.boxsize, cfg.n_side
     tile = effective_tile(n_side, cfg.cic_tile)
 
@@ -97,7 +100,8 @@ def main():
                    * (cfg.particle_mass * (n_side / box) ** 3))(padded)
     dens = jax.lax.optimization_barrier(dens.reshape(-1)).reshape(
         n_side, n_side, n_side)
-    phi = jax.jit(lambda d: pm_potential(d, gf.astype(d.dtype)))(dens)
+    phi = jax.jit(lambda d: pm_potential(d, green_function_traced(
+        cfg.n_side, cfg.boxsize, cfg.split_radius, dtype=d.dtype)))(dens)
     grad = jax.jit(lambda p: gradient_4th(p, box))(phi)
     fields = jax.jit(lambda g: tuple(pad_periodic(g[..., c], n_side)
                                      for c in range(3)))(grad)
@@ -130,21 +134,29 @@ def main():
     run("paint", lambda p, w, o: paint_leaves(p, w, o, n_side, tile, box),
         tree.pos, wts, origins)
     run("fold", lambda pd: fold_halos(pd, n_side), padded)
-    run("fft", lambda d: pm_potential(d, gf.astype(d.dtype)), dens)
+    run("fft", lambda d: pm_potential(d, green_function_traced(
+        cfg.n_side, cfg.boxsize, cfg.split_radius, dtype=d.dtype)), dens)
     run("grad", lambda p: gradient_4th(p, box), phi)
     run("pad", lambda g: pad_periodic(g[..., 0], n_side), grad)
     run("read", lambda p, f0_, f1, f2, o: read_leaves(
         p, (f0_, f1, f2), o, n_side, tile, box),
         tree.pos, fields[0], fields[1], fields[2], origins)
+    import functools
+    gf_thunk = functools.partial(green_function_traced, cfg.n_side,
+                                 cfg.boxsize, cfg.split_radius,
+                                 dtype=jnp.float32)
     run("total", lambda p: pm_from_tree(
         build_tree(p, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
-                   lo=0.0, hi=box), cfg, gf)[0], tree.pos.reshape(-1, 3))
+                   lo=0.0, hi=box), cfg, gf_thunk)[0],
+        tree.pos.reshape(-1, 3))
 
     os.makedirs("artifacts", exist_ok=True)
-    with open(f"artifacts/pm_profile_{n}.json", "w") as fh:
+    tag = f"{n}" if args.mesh_mult == 1 else f"{n}_m{args.mesh_mult}"
+    with open(f"artifacts/pm_profile_{tag}.json", "w") as fh:
         json.dump({"n": n, "leaf_size": args.leaf_size,
+                   "mesh_side": cfg.n_side,
                    "seconds": out}, fh, indent=1)
-    print("wrote", f"artifacts/pm_profile_{n}.json", flush=True)
+    print("wrote", f"artifacts/pm_profile_{tag}.json", flush=True)
 
 
 if __name__ == "__main__":
