@@ -93,7 +93,11 @@ def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
     d = dx * dy
     dtype = jnp.dtype(cfg.dtype)
     n = pos.shape[0]
-    cap = int(np.ceil(n / d * cfg.shard_capacity_factor))
+    # one device owns everything forever: no migration can overflow, so
+    # no padding (a 2x capacity factor would double every tree/traversal
+    # shape for nothing -- measured 3.3x step-time tax at 128^3)
+    factor = cfg.shard_capacity_factor if d > 1 else 1.0
+    cap = int(np.ceil(n / d * factor))
     xb = np.linspace(0.0, cfg.boxsize, dx + 1)
     yb = np.linspace(0.0, cfg.boxsize, dy + 1)
 
@@ -218,13 +222,23 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
     return acc, acc_pm, diag_out
 
 
-def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig):
+def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
+              use_pallas: Optional[bool] = None):
     """Brick-local PM long-range forces (runs inside shard_map).
 
     Patch paint -> rim fold -> 2-D pencil FFT -> ghost-plane potential ->
     patch gradient + CIC readout: O(n^3/D) memory and collective volume
     per device (the reference's local bounding-box meshes + owned-cell
-    exchange, partmesh.c:840-1251)."""
+    exchange, partmesh.c:840-1251).
+
+    ``use_pallas``: paint/readout via the leaf-brick MXU kernels
+    (pm/brick_pallas.py) instead of XLA corner scatters/gathers -- the
+    sharded equivalent of the single-chip cic_backend switch; None
+    resolves cfg.cic_backend ('auto' = kernels on TPU, like sim.py)."""
+    if use_pallas is None:
+        use_pallas = (cfg.cic_backend == "pallas"
+                      or (cfg.cic_backend == "auto"
+                          and jax.default_backend() == "tpu"))
     from photons_tpu.pm.brick import (expand_phi, fold_patch, gradient_patch,
                                       paint_patch, patch_geometry,
                                       read_patch_vector)
@@ -237,8 +251,6 @@ def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig):
     ny_loc = n_side // dy
     px = patch_geometry(n_side, dx, cfg.pm_patch_factor)
     py = patch_geometry(n_side, dy, cfg.pm_patch_factor)
-    hx_pm = min(dx // 2, -(-(px + 4) // nx_loc)) if dx > 1 else 0
-    hy_pm = min(dy // 2, -(-(py + 4) // ny_loc)) if dy > 1 else 0
     delta = box / n_side
     ox = jnp.floor(xbounds[lax.axis_index(AXX)] / delta).astype(jnp.int32) - 1
     oy = jnp.floor(ybounds[lax.axis_index(AXY)] / delta).astype(jnp.int32) - 1
@@ -247,17 +259,43 @@ def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig):
     need_y = (jnp.floor(ybounds[lax.axis_index(AXY) + 1] / delta)
               .astype(jnp.int32) + 2 - oy)
     scale = cfg.particle_mass * (n_side / box) ** 3
-    patch, lost = paint_patch(
-        jnp.where(valid[:, None], pos, 0.0), valid.astype(dtype) * scale,
-        box, n_side, ox, oy, px, py)
-    brick, fold_ovf = fold_patch(patch, ox, oy, n_side, hx_pm, hy_pm,
-                                 AXX, AXY)
+    pos0 = jnp.where(valid[:, None], pos, 0.0)
+
+    if use_pallas:
+        from photons_tpu.pm.brick_pallas import (HALO, paint_patch_pallas,
+                                                 read_patch_pallas)
+        from photons_tpu.pm.cic_pallas import effective_tile
+        tile = min(effective_tile(n_side, cfg.cic_tile),
+                   ((min(px, py) + 2 * HALO) // 8) * 8)
+        # the painted buffer is the HALO-extended patch (origin -H);
+        # hops must reach its extra rim rows
+        hx_pm = (min(dx // 2, -(-(px + 2 * HALO) // nx_loc))
+                 if dx > 1 else 0)
+        hy_pm = (min(dy // 2, -(-(py + 2 * HALO) // ny_loc))
+                 if dy > 1 else 0)
+        patch_ext, blocks, cic_ovf = paint_patch_pallas(
+            pos0, valid, scale, box, n_side, ox, oy, px, py, tile,
+            cfg.leaf_size, cfg.cic_straddler_cap)
+        brick, fold_ovf = fold_patch(patch_ext, ox - HALO, oy - HALO,
+                                     n_side, hx_pm, hy_pm, AXX, AXY)
+        lost = cic_ovf
+    else:
+        hx_pm = min(dx // 2, -(-(px + 4) // nx_loc)) if dx > 1 else 0
+        hy_pm = min(dy // 2, -(-(py + 4) // ny_loc)) if dy > 1 else 0
+        patch, lost = paint_patch(pos0, valid.astype(dtype) * scale,
+                                  box, n_side, ox, oy, px, py)
+        brick, fold_ovf = fold_patch(patch, ox, oy, n_side, hx_pm, hy_pm,
+                                     AXX, AXY)
     phi_brick = pencil_poisson_2d(brick, gf_local, AXX, AXY)
     phi_patch, exp_bad = expand_phi(phi_brick, ox - 2, oy - 2, px + 4,
                                     py + 4, need_x + 4, need_y + 4,
                                     n_side, hx_pm, hy_pm, AXX, AXY)
     grads = gradient_patch(phi_patch, box, n_side)
-    acc_pm = read_patch_vector(grads, pos, box, n_side, ox, oy, px, py)
+    if use_pallas:
+        acc_pm = read_patch_pallas(grads, pos0, blocks, box, n_side,
+                                   ox, oy, px, py, tile)
+    else:
+        acc_pm = read_patch_vector(grads, pos0, box, n_side, ox, oy, px, py)
     acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
     # a patch covering the whole ring (px == n, mod-n wrap) always fits;
     # the linear extent check only applies to genuinely partial patches
@@ -286,11 +324,17 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
     ny_loc = n_side // dy
 
     # ---- short range: ghosts + local FMM -------------------------------
-    gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
-        pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
-        hops_x, hops_y, AXX, AXY)
-    pos_all = jnp.concatenate([pos, gpos])
-    val_all = jnp.concatenate([valid, gval])
+    if d == 1:
+        # one device: the min-image local tree already sees every source;
+        # a ghost buffer would only pad the tree with dead slots
+        pos_all, val_all = pos, valid
+        g_ovf = halo_bad = jnp.asarray(False)
+    else:
+        gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
+            pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
+            hops_x, hops_y, AXX, AXY)
+        pos_all = jnp.concatenate([pos, gpos])
+        val_all = jnp.concatenate([valid, gval])
     acc_all, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
                                valid=val_all)
     acc = acc_all[:cap]
@@ -405,9 +449,12 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
             drifted = jnp.mod(drifted, box)
         pos = jnp.where(valid[:, None], drifted, pos)
 
-        (pos, vel), valid, mig_ovf = migrate_2d(
-            (pos, vel), valid, xb, yb,
-            send_cap=int(cap * cfg.send_cap_factor), ax=AXX, ay=AXY)
+        if d == 1:
+            mig_ovf = jnp.asarray(False)      # nothing can leave the shard
+        else:
+            (pos, vel), valid, mig_ovf = migrate_2d(
+                (pos, vel), valid, xb, yb,
+                send_cap=int(cap * cfg.send_cap_factor), ax=AXX, ay=AXY)
 
         acc, acc_pm, diag = _force_shard(
             pos, valid, xb, yb, gf_local, cfg, p2p_backend,

@@ -95,11 +95,25 @@ def _mesh_dims(n_side: int):
     return logical, npx, npy, npz
 
 
+def _mesh_dims3(lx: int, ly: int, lz: int):
+    """Padded dims for a non-cubic logical extent (sharded PM patches:
+    (px, py, n_side) with the decomposed x/y axes smaller than the
+    mesh).  Same halo/tiling rules as :func:`_mesh_dims`."""
+    npx = lx + 2 * HALO
+    npy = -(-(ly + 2 * HALO) // 8) * 8
+    npz = -(-(lz + 2 * HALO) // 128) * 128
+    return npx, npy, npz
+
+
 def _z_tile(n_side: int) -> int:
     """Brick z-window size: Mosaic requires 128-aligned dynamic lane
     offsets, so a 256-cell window at a 128-aligned origin contains any
     leaf footprint up to 127 z cells regardless of where it falls."""
     _, _, _, npz = _mesh_dims(n_side)
+    return min(256, npz)
+
+
+def _z_tile_of(npz: int) -> int:
     return min(256, npz)
 
 
@@ -191,18 +205,30 @@ def _paint_kernel(origins, px_ref, py_ref, pz_ref, wt_ref, mesh_ref,
 
 
 def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
-                 boxsize: float, interpret: Optional[bool] = None):
+                 boxsize: float, interpret: Optional[bool] = None,
+                 dims: Optional[Tuple[int, int, int]] = None,
+                 cell_units: bool = False):
     """Accumulate leaf-blocked particles onto a halo-padded mesh.
 
     leaf_pos (nleaf, S, 3) absolute positions (padding slots anywhere,
     weight 0); leaf_wts (nleaf, S); origins (nleaf,) packed int32 brick
     corners in PADDED cell coordinates.  Returns (npx, npy, npz) f32
     with periodic halos on every axis (see _mesh_dims).
+
+    ``dims``: logical (lx, ly, lz) extents for a non-cubic buffer
+    (sharded PM patches); default the full (n, n, n) mesh.
+    ``cell_units``: positions are already CELL-CENTER coordinates
+    (i0 + frac + 0.5, e.g. patch-frame after a mod-n shift) -- the
+    wrappers then use delta=1, which keeps the caller's integer cell
+    shift exact instead of round-tripping through * delta.
     """
     n_leaf, s = leaf_wts.shape
-    logical, npx, npy, npz = _mesh_dims(n_side)
-    tz = _z_tile(n_side)
-    delta = boxsize / n_side
+    if dims is None:
+        _, npx, npy, npz = _mesh_dims(n_side)
+    else:
+        npx, npy, npz = _mesh_dims3(*dims)
+    tz = _z_tile_of(npz)
+    delta = 1.0 if cell_units else boxsize / n_side
     kernel = functools.partial(_paint_kernel, t=tile, tz=tz,
                                inv_delta=1.0 / delta)
 
@@ -289,18 +315,24 @@ def _read_kernel(origins, px_ref, py_ref, pz_ref, gx_ref, gy_ref, gz_ref,
 
 
 def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
-                boxsize: float, interpret: Optional[bool] = None):
+                boxsize: float, interpret: Optional[bool] = None,
+                dims: Optional[Tuple[int, int, int]] = None,
+                cell_units: bool = False):
     """Trilinear readout of three padded scalar fields at leaf particles.
 
     padded_fields: tuple of three (npx, npy, npz) arrays (gradient
     components, from :func:`pad_periodic`).  Brick DMAs are double-
     buffered across components and leaves, so every contraction overlaps
     the next fetch.  Returns (nleaf, 3, S) values in leaf order.
+    ``dims`` / ``cell_units``: see :func:`paint_leaves`.
     """
     n_leaf, s = leaf_pos.shape[:2]
-    logical, npx, npy, npz = _mesh_dims(n_side)
-    tz = _z_tile(n_side)
-    delta = boxsize / n_side
+    if dims is None:
+        _, npx, npy, npz = _mesh_dims(n_side)
+    else:
+        npx, npy, npz = _mesh_dims3(*dims)
+    tz = _z_tile_of(npz)
+    delta = 1.0 if cell_units else boxsize / n_side
     kernel = functools.partial(_read_kernel, t=tile, tz=tz,
                                inv_delta=1.0 / delta, num_leaves=n_leaf)
     shift = HALO * delta
@@ -340,17 +372,23 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
 # ---------------------------------------------------------------------------
 
 def brick_origins(leaf_pos, leaf_mask, n_side: int, tile: int,
-                  boxsize: float):
+                  boxsize: float,
+                  dims: Optional[Tuple[int, int, int]] = None,
+                  cell_units: bool = False):
     """Brick corners (padded x/y cell coords) + per-leaf fits-in-brick mask.
 
     A leaf fits when its CIC footprint (min cell .. max cell + 1, both
     axes) spans at most ``tile`` cells.  Non-fitting leaves keep a clamped
     origin (the kernel's clamped writes are then DISCARDED by painting
     them with zero weight; the caller routes them to the XLA fallback).
+    ``dims`` / ``cell_units``: see :func:`paint_leaves`.
     """
-    delta = boxsize / n_side
-    logical, npx, npy, npz = _mesh_dims(n_side)
-    tz = _z_tile(n_side)
+    delta = 1.0 if cell_units else boxsize / n_side
+    if dims is None:
+        _, npx, npy, npz = _mesh_dims(n_side)
+    else:
+        npx, npy, npz = _mesh_dims3(*dims)
+    tz = _z_tile_of(npz)
     u = leaf_pos / delta - 0.5
     c = jnp.floor(u).astype(jnp.int32) + HALO          # padded cell coords
     big = jnp.iinfo(jnp.int32).max

@@ -247,6 +247,48 @@ def test_sharded_step_2d_grid_matches_single_device(mesh42):
     np.testing.assert_allclose(p1[key(p1)], p8[key(p8)], atol=1e-5)
 
 
+@pytest.mark.parametrize("grid", [(4, 2), (1, 1)])
+def test_sharded_pm_pallas_matches_xla(grid):
+    """The leaf-brick Pallas paint/readout inside shard_map
+    (pm/brick_pallas) reproduces the XLA corner-scatter PM path on both a
+    real 2-D grid and a 1-device mesh (full-axis wrap seam); VERDICT r2
+    next-5: sharded engine at single-chip kernel speed."""
+    from photons_tpu.parallel.fft import green_function_pencil2d
+    from photons_tpu.parallel.step import _pm_shard, make_sharded_state
+
+    dx, dy = grid
+    m = Mesh(np.array(jax.devices()[:dx * dy]).reshape(dx, dy), ("x", "y"))
+    n = 32
+    cfg = SimConfig(boxsize=L, n_side=n, n_part_total=4096, dtype="float32",
+                    leaf_size=32, initial_redshift=49.0)
+    rng = np.random.default_rng(13)
+    # clustered + uniform mix so leaf bricks span several tiles
+    pos = np.concatenate([
+        rng.uniform(0, L, (2048, 3)),
+        rng.normal(0, L / 20, (2048, 3)) + L / 2])
+    pos = np.mod(pos, L)
+    state = make_sharded_state(cfg, m, pos, np.zeros_like(pos), a=1.0)
+    gf = green_function_pencil2d(n, L, cfg.split_radius, jnp.float32, dy)
+
+    def run(use_pallas):
+        f = shard_map(
+            lambda p, v, xb, yb, g: _pm_shard(p, v, xb, yb, g, cfg,
+                                              use_pallas=use_pallas),
+            mesh=m,
+            in_specs=(P(("x", "y")), P(("x", "y")), P(), P(),
+                      P(None, "x", "y")),
+            out_specs=(P(("x", "y")), P()), check_rep=False)
+        acc, ovf = jax.jit(f)(state.pos, state.valid, state.xbounds,
+                              state.ybounds, gf)
+        return np.asarray(acc), bool(np.any(np.asarray(ovf)))
+
+    acc_x, ovf_x = run(False)
+    acc_p, ovf_p = run(True)
+    assert not ovf_x and not ovf_p
+    scale = np.abs(acc_x).max()
+    np.testing.assert_allclose(acc_p, acc_x, atol=2e-5 * scale)
+
+
 def test_config_grid_shape_honored(mesh):
     """NprocVertical/NprocHorizon from the parameter file fix the 2-D grid
     (initial.c:253-254)."""
