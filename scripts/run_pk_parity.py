@@ -83,6 +83,15 @@ def main():
     ap.add_argument("--list-reuse", type=int, default=1,
                     help="rebuild traversal lists every k-th step "
                          "(Verlet skin; implies --sorted)")
+    ap.add_argument("--adaptive", choices=["off", "global", "block"],
+                    default="off",
+                    help="refine macro steps into 2^k KDK substeps: "
+                         "'global' one level for all particles, 'block' "
+                         "per-particle levels (the reference's vestigial "
+                         "inc/adaptive.h:12-20 surface).  Artifact becomes "
+                         "pk_<n>_<mode>.json for A/B against fixed steps")
+    ap.add_argument("--eta", type=float, default=0.025,
+                    help="adaptive accuracy parameter (dt < eta/|levels|)")
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -125,9 +134,11 @@ def main():
     sim = Simulation.from_arrays(cfg, pos, vel, engine=args.engine, log=True)
     print(f"engine={args.engine} device={jax.devices()[0].platform} "
           f"steps={args.steps}", flush=True)
+    adaptive = {"off": False, "global": True, "block": "block"}[args.adaptive]
     t0 = time.perf_counter()
     sim.run(n_steps=args.steps, a_final=args.a_final,
             snapshot_times=(0.25, 0.5, args.a_final),
+            adaptive=adaptive, eta=args.eta,
             profile_interval=0 if args.no_profile
             else args.profile_interval)
     wall = time.perf_counter() - t0
@@ -155,6 +166,8 @@ def main():
         "mesh_side": n_side, "rs_cells": args.rs_cells,
         "split_radius": cfg.split_radius,
         "recoveries": sim.recoveries,
+        "adaptive": args.adaptive,
+        "max_adaptive_level": int(getattr(sim, "max_adaptive_level", 0)),
         "final_caps": {"open": sim.cfg.open_cap_per_node,
                        "p2p": sim.cfg.p2p_neighbor_cap,
                        "m2l": sim.cfg.m2l_cap_per_node},
@@ -174,7 +187,8 @@ def main():
         out["ratio_pm"] = (pk_pm / pk_i).tolist()
 
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"pk_{n}.json")
+    suffix = "" if args.adaptive == "off" else f"_{args.adaptive}"
+    path = os.path.join(args.out, f"pk_{n}{suffix}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
 

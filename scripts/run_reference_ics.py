@@ -92,8 +92,8 @@ def run_merger(args):
     from photons_tpu.models.merger import merger_from_reference
 
     sim = merger_from_reference(
-        os.path.join(REF_DEMO, "ic_merger.gdt2"), engine=args.engine,
-        log=True, dtype=args.dtype, leaf_size=args.leaf_size,
+        os.path.join(REF_DEMO, "ic_merger.gdt2"), engine=args.merger_engine,
+        log=True, dtype=args.dtype, leaf_size=args.merger_leaf,
         output_path=args.out, code_proj="refmerger")
     n1 = 40000                       # header npart = (0, 40000, 20000, ...)
     traj = []
@@ -146,6 +146,13 @@ def main():
                     help="merger end time (kpc/(km/s) ~ 0.978 Gyr)")
     ap.add_argument("--engine", default="fmm")
     ap.add_argument("--leaf-size", type=int, default=64)
+    # the merger's dense Plummer cores grow p2p caps; the packed-table
+    # (redundant) backend's (rows, S, 3) source stream then exceeds HBM
+    # (measured: 19.3 GB at p2p_cap 384, leaf 64).  The indexing backend
+    # gathers in-kernel from the (nleaf, S, 3) table instead -- its task
+    # list is index-only, so the same caps cost ~1000x less memory.
+    ap.add_argument("--merger-engine", default="fmm-indexing")
+    ap.add_argument("--merger-leaf", type=int, default=128)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="artifacts")
