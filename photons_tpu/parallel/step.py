@@ -33,7 +33,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+
+def shard_map(f, mesh=None, in_specs=None, out_specs=None, check_rep=True):
+    """``jax.shard_map`` with the legacy ``check_rep`` keyword.
+
+    The repo predates the ``jax.experimental.shard_map`` ->
+    ``jax.shard_map`` move (the experimental import warns on deletion
+    notice in jax 0.9); this adapter keeps every call site stable while
+    using only the public API.  ``check_rep`` maps onto ``check_vma``,
+    the renamed replication/varying-axes check.
+    """
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=check_rep)
 
 from photons_tpu.config import SimConfig
 from photons_tpu.ops.fmm_engine import fmm_forces

@@ -51,15 +51,17 @@ def main():
                          "16 GB heap; per-window profiling (k=1) was "
                          "measured to OOM the step itself ~3 windows in, "
                          "so production runs profile sparsely")
-    ap.add_argument("--mesh-mult", type=int, default=1,
+    ap.add_argument("--mesh-mult", type=int, default=2,
                     help="PM mesh side = mesh_mult * n.  The reference "
                          "pairs a 1-cell-per-particle mesh with rs = 1.25 "
                          "cells (initial.c:324), which misses the 1e-3 "
-                         "total-force budget (PM aliasing ~2e-3, "
-                         "artifacts/split_geometry.json); mesh_mult 2 with "
-                         "--rs-cells 2.5 keeps the same physical rs and "
-                         "P2P volume while the PM error drops ~5x")
-    ap.add_argument("--rs-cells", type=float, default=1.25,
+                         "total-force budget (2.09e-3 RMS measured under "
+                         "the Ewald oracle, artifacts/split_geometry16."
+                         "json); the default is the accuracy-compliant "
+                         "geometry found in the round-3 sweep: mesh 2n "
+                         "with rs = 1.75 cells (6.3e-4 RMS, 2.4x less P2P "
+                         "pair volume)")
+    ap.add_argument("--rs-cells", type=float, default=1.75,
                     help="Ewald split radius in PM mesh cells "
                          "(rs = rs_cells * L / (mesh_mult*n))")
     # caps pre-sized for z=0 clustering at 256^3 (VERDICT r2 next-7:
@@ -67,8 +69,30 @@ def main():
     # elastic-recovery recompiles mid-run; a full run must finish with 0)
     ap.add_argument("--open-cap", type=int, default=128)
     ap.add_argument("--p2p-cap", type=int, default=192)
+    ap.add_argument("--cic-straddler-cap", type=int, default=192,
+                    help="XLA residual-path capacity for leaves whose CIC "
+                         "footprint exceeds the Pallas brick tile.  The "
+                         "round-3 production run grew 8 -> 128 through 4 "
+                         "elastic recoveries (~47 s replay each, "
+                         "LOGpk256.TXT rows 60-103); 192 covers the "
+                         "measured z=0 straddler count with margin "
+                         "(VERDICT r3 next-6; fmm.c:774 sizes capacities "
+                         "up-front the same way)")
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
+    ap.add_argument("--open-cap-levels", default="96,64,48",
+                    help="leaf-anchored per-level open-cap schedule "
+                         "(deepest internal level first; shallower levels "
+                         "reuse the last entry).  Measured IC-regime "
+                         "occupancy is <= 32/row at every level "
+                         "(artifacts/traversal_profile_256.json) and the "
+                         "deep levels are gather-bound, so tapered caps "
+                         "cut most of the traversal cost.  '' = uniform "
+                         "--open-cap")
+    ap.add_argument("--no-quantized-mac", action="store_true",
+                    help="disable the packed u16 fixed-point MAC gathers "
+                         "(ops/traversal.pack_node_geometry) and classify "
+                         "from full-precision per-axis gathers instead")
     ap.add_argument("--sorted", action="store_true", dest="sorted_state",
                     help="sorted-state stepping: keep particles in tree "
                          "order across steps (kills the unsort scatter)")
@@ -108,14 +132,23 @@ def main():
 
     n = args.n
     n_side = args.mesh_mult * n
+    # Adaptive runs get their own log + snapshot names so a new run can
+    # never truncate the committed artifact of a previous fixed-step run
+    # (utility.c:35-48 keeps one log per run name; VERDICT r3 next-4).
+    run_name = f"pk{n}" if args.adaptive == "off" \
+        else f"pk{n}_{args.adaptive}"
     cfg = lcdm_config(
         n_part=n ** 3, n_side=n_side, leaf_size=args.leaf_size,
         dtype="float32",
         open_cap_per_node=args.open_cap, p2p_neighbor_cap=args.p2p_cap,
-        m2l_cap_per_node=64,
+        m2l_cap_per_node=64, cic_straddler_cap=args.cic_straddler_cap,
         fused_step=not args.split_step,
-        code_proj=f"pk{n}", output_path=args.out, output_name=f"pk{n}")
+        code_proj=run_name, output_path=args.out, output_name=run_name)
     cfg = cfg.replace(split_scale=args.rs_cells * cfg.boxsize / n_side)
+    if args.open_cap_levels:
+        cfg = cfg.replace(open_cap_levels=tuple(
+            int(x) for x in args.open_cap_levels.split(",")))
+    cfg = cfg.replace(traversal_quantized=not args.no_quantized_mac)
     print(f"geometry: mesh {n_side}^3, rs = {args.rs_cells} cells "
           f"= {cfg.split_radius:.1f} kpc/h, cutoff = "
           f"{cfg.cutoff_radius:.1f} kpc/h", flush=True)
@@ -170,7 +203,10 @@ def main():
         "max_adaptive_level": int(getattr(sim, "max_adaptive_level", 0)),
         "final_caps": {"open": sim.cfg.open_cap_per_node,
                        "p2p": sim.cfg.p2p_neighbor_cap,
-                       "m2l": sim.cfg.m2l_cap_per_node},
+                       "m2l": sim.cfg.m2l_cap_per_node,
+                       "cic_straddler": sim.cfg.cic_straddler_cap,
+                       "cic_tile": sim.cfg.cic_tile,
+                       "cic_backend": sim.cfg.cic_backend},
         "k": k_f.tolist(), "n_modes": n_modes.tolist(),
         "pk_init": pk_i.tolist(), "pk_final": pk_f.tolist(),
         "ratio": (pk_f / pk_i).tolist(), "linear": linear,

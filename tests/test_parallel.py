@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from photons_tpu.parallel.step import shard_map
 
 from photons_tpu.config import SimConfig
 from photons_tpu.parallel.fft import green_function_yslice, pencil_poisson
