@@ -92,6 +92,18 @@ class SimConfig:
     p2p_neighbor_cap: int = 256         # max P2P source leaves per target leaf
     m2l_cap_per_node: int = 64          # max M2L sources per target node/level
     open_cap_per_node: int = 512        # frontier pairs per node per level
+    open_cap_levels: "Optional[Tuple[int, ...]]" = None
+    # leaf-anchored per-level open-cap schedule (entry 0 = deepest
+    # internal level, then upward; shallower levels reuse the last
+    # entry).  None = uniform open_cap_per_node.  The deep traversal
+    # levels are gather-bound and their candidate width is 2x the open
+    # cap of the level above, so capacities sized to measured occupancy
+    # (expand_open_caps docstring) cut most of the traversal cost;
+    # overflow trips the same elastic recovery as the uniform cap
+    traversal_quantized: bool = False   # classify MAC candidates from
+    # u16 fixed-point packed node geometry (3 u32 gathers instead of 7
+    # f32/i32): conservative-identical pair sets, ~2.3x less gather
+    # traffic at the deep levels (ops/traversal.pack_node_geometry)
 
     # --- parallelism -------------------------------------------------------
     n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)

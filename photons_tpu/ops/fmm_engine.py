@@ -362,11 +362,16 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
 
     tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
                       lo=lo, hi=hi, valid=valid)
+    from photons_tpu.ops.traversal import expand_open_caps
+    depth = _next_pow2(-(-n // cfg.leaf_size)).bit_length() - 1
     lists = dual_tree_traversal(
         tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
         open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
         p2p_cap=cfg.p2p_neighbor_cap,
-        adjacency_eps=1e-9 * cfg.boxsize)
+        adjacency_eps=1e-9 * cfg.boxsize,
+        open_caps=expand_open_caps(cfg.open_cap_levels, depth,
+                                   cfg.open_cap_per_node),
+        quant_bounds=(lo, hi) if cfg.traversal_quantized else None)
 
     leaf_active = None
     if active is not None:

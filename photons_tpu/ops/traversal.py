@@ -126,6 +126,79 @@ def acceptance_flags_axes(dists, w_ts, w_ss, count_t, count_s, theta: float,
                                 theta, cutoff, adjacency_eps)
 
 
+QBITS = 16
+QMAX = (1 << QBITS) - 1          # u16 grid: box/65535 ~ 1.5 kpc at L=100 Mpc
+
+
+def pack_node_geometry(centers, widths, counts, lo: float, hi: float):
+    """Quantize per-level node geometry into 3 packed u32 words per node.
+
+    The deep traversal levels are gather-bound (profile_traversal at
+    256^3: the leaf level spends ~2.3 s of its 2.0 s cost materializing
+    7 per-candidate f32/i32 gathers -- 3 axes of centers, 3 of widths,
+    counts -- while the compaction sort costs +7 ms).  Packing the whole
+    MAC geometry as 6 u16 fixed-point values in 3 u32 words cuts the
+    gathered bytes per candidate 28 -> 12.
+
+    Layout per node: wa = cx | cy<<16, wb = cz | wx<<16, wc = wy | wz<<16,
+    centers rounded to the u16 grid over [lo, hi], widths CEILed up 1 grid
+    unit (conservative: a too-wide node can only stay open longer).  Empty
+    nodes carry the wx sentinel QMAX (decoded to 'discard', matching the
+    count==0 test).  Quantization slack is compensated at flag time
+    (``_quantized_slack``): the discard test inflates the cutoff and the
+    accept test deflates theta, so every decision is a conservative
+    refinement of the exact-MAC decision -- extra kept pairs only add
+    erfc-damped near-zero P2P work, never lose interactions.
+
+    Returns a tuple over levels of (wa, wb, wc) u32 arrays.
+    """
+    scale = QMAX / (hi - lo)
+    packed = []
+    for c, w, n in zip(centers, widths, counts):
+        cq = jnp.clip(jnp.round((c - lo) * scale), 0, QMAX).astype(
+            jnp.uint32)
+        wq = jnp.clip(jnp.ceil(w * scale) + 1, 0, QMAX - 1).astype(
+            jnp.uint32)
+        wqx = jnp.where(n == 0, jnp.uint32(QMAX), wq[:, 0])
+        wa = cq[:, 0] | (cq[:, 1] << QBITS)
+        wb = cq[:, 2] | (wqx << QBITS)
+        wc = wq[:, 1] | (wq[:, 2] << QBITS)
+        packed.append((wa, wb, wc))
+    return tuple(packed)
+
+
+def _unpack_u16(word, which: int):
+    return ((word >> (QBITS * which)) & QMAX).astype(jnp.int32)
+
+
+def expand_open_caps(schedule, depth: int, open_cap: int):
+    """Expand a leaf-anchored open-cap schedule to per-level caps.
+
+    ``schedule[0]`` governs the DEEPEST internal level (depth-1),
+    ``schedule[1]`` the next one up, ...; levels above the schedule's
+    reach reuse its last entry.  Anchoring at the leaf end makes one
+    schedule valid for any tree depth: the open-frontier size a level
+    needs is set by its distance from the leaves (the cutoff ball
+    measured in node extents), not by its absolute depth.  Measured at
+    the 256^3 flagship (scripts/profile_traversal.py occupancy): max
+    open/row is <= 32 at EVERY level in the IC regime, while the uniform
+    open_cap=128 paid 2*128-wide candidate gathers per level -- the
+    schedule is where most of the traversal's gather volume goes away.
+
+    Returns None if schedule is None (uniform ``open_cap`` behavior).
+    """
+    if schedule is None:
+        return None
+    caps = []
+    for d in range(depth):
+        idx = (depth - 2) - d       # d == depth-2 -> deepest internal level
+        if idx < 0:
+            caps.append(int(open_cap))   # last-level slot (p2p_cap rules)
+        else:
+            caps.append(int(schedule[min(idx, len(schedule) - 1)]))
+    return tuple(caps)
+
+
 def _row_compact(vals, mask, cap: int):
     """Pack masked entries of each row to the front, truncated at ``cap``.
 
@@ -147,22 +220,31 @@ def _row_compact(vals, mask, cap: int):
 
 @partial(jax.jit, static_argnames=("theta", "cutoff", "boxsize",
                                    "open_cap", "m2l_cap", "p2p_cap",
-                                   "adjacency_eps"))
+                                   "adjacency_eps", "open_caps",
+                                   "quant_bounds"))
 def dual_tree_traversal(tree: Tree, theta: float,
                         cutoff: Optional[float] = None,
                         boxsize: Optional[float] = None,
                         open_cap: int = 256, m2l_cap: int = 128,
                         p2p_cap: int = 192,
-                        adjacency_eps: float = 1e-4) -> InteractionLists:
+                        adjacency_eps: float = 1e-4,
+                        open_caps: Optional[Tuple[int, ...]] = None,
+                        quant_bounds: Optional[Tuple[float, float]] = None,
+                        ) -> InteractionLists:
     """Build per-node M2L tables (per level) and the per-leaf P2P table.
 
     open_cap / m2l_cap / p2p_cap are strict per-target-node capacities.
+    open_caps optionally overrides open_cap per level (see
+    :func:`taper_open_caps`); quant_bounds (lo, hi) switches the MAC
+    geometry to the packed u16 fixed-point source gathers
+    (:func:`pack_node_geometry`).
     """
     return dual_tree_traversal_pair(
         tree.centers, tree.widths, tree.counts,
         tree.centers, tree.widths, tree.counts,
         theta=theta, cutoff=cutoff, boxsize=boxsize, open_cap=open_cap,
-        m2l_cap=m2l_cap, p2p_cap=p2p_cap, adjacency_eps=adjacency_eps)
+        m2l_cap=m2l_cap, p2p_cap=p2p_cap, adjacency_eps=adjacency_eps,
+        open_caps=open_caps, quant_bounds=quant_bounds)
 
 
 def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
@@ -174,7 +256,10 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
                              p2p_cap: int = 192,
                              adjacency_eps: float = 1e-4,
                              leaf_unresolved: str = "p2p",
-                             source_zone=None) -> InteractionLists:
+                             source_zone=None,
+                             open_caps: Optional[Tuple[int, ...]] = None,
+                             quant_bounds: Optional[Tuple[float, float]]
+                             = None) -> InteractionLists:
     """Two-tree traversal: targets from tree T, sources from tree S (same
     balanced layout).  For S == T this is the local walk; with S = a remote
     shard's gathered tree metadata it is the cross-shard far-field pass
@@ -200,6 +285,12 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
     m2l_tables = []
     m2l_counts = []
 
+    if quant_bounds is not None:
+        qlo, qhi = quant_bounds
+        grid = (qhi - qlo) / QMAX
+        packed_s = pack_node_geometry(centers_s, widths_s, counts_s,
+                                      qlo, qhi)
+
     if depth == 0:
         # single-leaf tree: the (root, root) pair is one P2P task
         nonempty = (counts_t[0][0] > 0) & (counts_s[0][0] > 0)
@@ -221,18 +312,48 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         valid = cand >= 0
         safe = jnp.maximum(cand, 0)
 
-        # per-axis 2-D gathers (see acceptance_flags_axes: a fused
-        # (n_t, K, 3) gather can be tile-padded 42x on TPU)
-        dists = tuple(
-            _min_image(centers_t[d + 1][:, None, ax]
-                       - centers_s[d + 1][:, ax][safe], boxsize)
-            for ax in range(3))
         w_ts = tuple(widths_t[d + 1][:, None, ax] for ax in range(3))
-        w_ss = tuple(widths_s[d + 1][:, ax][safe] for ax in range(3))
-        flags = acceptance_flags_axes(
-            dists, w_ts, w_ss,
-            counts_t[d + 1][:, None], counts_s[d + 1][safe],
-            theta, cutoff, adjacency_eps)
+        if quant_bounds is None:
+            # per-axis 2-D gathers (see acceptance_flags_axes: a fused
+            # (n_t, K, 3) gather can be tile-padded 42x on TPU)
+            dists = tuple(
+                _min_image(centers_t[d + 1][:, None, ax]
+                           - centers_s[d + 1][:, ax][safe], boxsize)
+                for ax in range(3))
+            w_ss = tuple(widths_s[d + 1][:, ax][safe] for ax in range(3))
+            flags = acceptance_flags_axes(
+                dists, w_ts, w_ss,
+                counts_t[d + 1][:, None], counts_s[d + 1][safe],
+                theta, cutoff, adjacency_eps)
+        else:
+            # packed fixed-point source gathers: 3 u32 words instead of
+            # 7 f32/i32 arrays (gathers, not the sort, dominate the deep
+            # levels -- artifacts/traversal_profile_256.json)
+            dt = centers_t[d + 1].dtype
+            ga, gb, gc = (w[safe] for w in packed_s[d + 1])
+            cqs = (_unpack_u16(ga, 0), _unpack_u16(ga, 1),
+                   _unpack_u16(gb, 0))
+            wxs, wys, wzs = (_unpack_u16(gb, 1), _unpack_u16(gc, 0),
+                             _unpack_u16(gc, 1))
+            empty_s = wxs == QMAX
+            dists = tuple(
+                _min_image(centers_t[d + 1][:, None, ax]
+                           - (qlo + q.astype(dt) * dt.type(grid)), boxsize)
+                for ax, q in enumerate(cqs))
+            w_ss = tuple(jnp.where(empty_s, 0, q).astype(dt) * dt.type(grid)
+                         for q in (wxs, wys, wzs))
+            # conservative slack for the <= 0.5-grid center rounding: the
+            # discard horizon moves out 3 grid units and the accept theta
+            # tightens 0.5%, so every quantized decision refines the
+            # exact-MAC one (kept-too-long pairs only add erfc-damped
+            # near-zero P2P terms)
+            flags = acceptance_flags_axes(
+                dists, w_ts, w_ss,
+                counts_t[d + 1][:, None],
+                jnp.where(empty_s, 0, 1),
+                theta * (1.0 - 5e-3),
+                None if cutoff is None else cutoff + 3.0 * grid,
+                adjacency_eps)
         flags = jnp.where(valid, flags, -1)
 
         last = (d + 1 == depth)
@@ -268,7 +389,8 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
         overflow |= ovf
         overflow_bits |= jnp.where(ovf, OVF_M2L, 0)
 
-        cap_open = min(kcand, p2p_cap if last else open_cap)
+        oc = open_cap if open_caps is None else open_caps[d]
+        cap_open = min(kcand, p2p_cap if last else oc)
         open_src, o_cnt, ovf = _row_compact(cand, flags == 0, cap_open)
         if not (last and leaf_unresolved == "m2l"):
             overflow |= ovf

@@ -99,10 +99,16 @@ class PhaseProfiler:
 
         self.f_tree = _aot(jax.jit(lambda pos: build_tree(
             pos, mass=mass, leaf_size=cfg.leaf_size, lo=0.0, hi=cfg.boxsize)))
+        from photons_tpu.ops.traversal import expand_open_caps
         self.f_trav = _aot(jax.jit(lambda tree: dual_tree_traversal(
             tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
             open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
-            p2p_cap=cfg.p2p_neighbor_cap, adjacency_eps=1e-9 * cfg.boxsize)))
+            p2p_cap=cfg.p2p_neighbor_cap, adjacency_eps=1e-9 * cfg.boxsize,
+            open_caps=expand_open_caps(cfg.open_cap_levels,
+                                       len(tree.centers) - 1,
+                                       cfg.open_cap_per_node),
+            quant_bounds=(0.0, cfg.boxsize)
+            if cfg.traversal_quantized else None)))
 
         def m2l_chain(tree, lists):
             loc = apply_m2l(tree, lists, rs, box)

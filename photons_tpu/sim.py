@@ -595,9 +595,18 @@ class Simulation:
             def up(v):
                 return -(-int(v * factor) // 32) * 32
             grow_all = bits == 0
+            grow_open = grow_all or bits & OVF_OPEN
+            levels = self.cfg.open_cap_levels
             self.cfg = self.cfg.replace(
+                # a per-level schedule grows as a whole: the overflow bit
+                # does not say WHICH level tripped, and the schedule's
+                # relative taper is geometric, so scaling every entry
+                # keeps it valid while guaranteeing the recovery loop
+                # terminates
+                open_cap_levels=tuple(up(v) for v in levels)
+                if grow_open and levels is not None else levels,
                 open_cap_per_node=up(self.cfg.open_cap_per_node)
-                if grow_all or bits & OVF_OPEN
+                if grow_open
                 else self.cfg.open_cap_per_node,
                 m2l_cap_per_node=up(self.cfg.m2l_cap_per_node)
                 if grow_all or bits & OVF_M2L

@@ -103,6 +103,13 @@ def main():
                          "sweep, VERDICT r2 item 1)")
     ap.add_argument("--rs-cells", type=float, default=1.25,
                     help="split radius in PM mesh cells")
+    ap.add_argument("--open-cap-levels", default="",
+                    help="leaf-anchored per-level open-cap schedule, "
+                         "e.g. '96,64,48' (see run_pk_parity.py)")
+    ap.add_argument("--quantized-mac", action="store_true",
+                    help="packed u16 fixed-point MAC gathers "
+                         "(cfg.traversal_quantized)")
+    ap.add_argument("--tag", default="", help="artifact filename suffix")
     ap.add_argument("--out", default="artifacts")
     args = ap.parse_args()
 
@@ -121,6 +128,11 @@ def main():
                        list_reuse=args.list_reuse,
                        output_path=args.out)
     base = base.replace(split_scale=args.rs_cells * base.boxsize / n_side)
+    if args.open_cap_levels:
+        base = base.replace(open_cap_levels=tuple(
+            int(x) for x in args.open_cap_levels.split(",")))
+    if args.quantized_mac:
+        base = base.replace(traversal_quantized=True)
     print(f"geometry: mesh {n_side}^3, rs = {args.rs_cells} cells = "
           f"{base.split_radius:.1f} kpc/h, cutoff {base.cutoff_radius:.1f}",
           flush=True)
@@ -162,6 +174,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     geo = ("" if args.mesh_mult == 1 and args.rs_cells == 1.25
            else f"_m{args.mesh_mult}r{args.rs_cells:g}")
+    if args.tag:
+        geo += f"_{args.tag}"
     path = os.path.join(args.out, f"sweep_{n}{geo}.json")
     with open(path, "w") as fh:
         json.dump({"n": n, "engine": args.engine, "steps": args.steps,

@@ -84,6 +84,57 @@ def test_traversal_covers_every_leaf_pair_exactly_once():
     assert (cover[~ok] == 0).all()
 
 
+def test_traversal_quantized_and_tapered_caps_match_exact():
+    """The packed u16 fixed-point MAC (quant_bounds) and the leaf-anchored
+    open-cap schedule must reproduce the exact traversal's pair sets: the
+    quantized classification is a conservative refinement whose slack
+    (<= 3 grid units ~ 1e-4 of the box) is far below any inter-node gap at
+    test scale, and IC-regime occupancy fits deep caps with margin
+    (VERDICT r3 next-1: the deep levels are gather-bound, so these two
+    knobs carry the flagship traversal speedup)."""
+    from photons_tpu.ops.traversal import expand_open_caps
+
+    pos = _randpos(4096, 12)
+    t = build_tree(pos, mass=1.0, leaf_size=32, lo=0.0, hi=L)
+    kw = dict(theta=0.4, cutoff=0.12 * L, boxsize=L,
+              open_cap=128, m2l_cap=64, p2p_cap=128)
+    exact = dual_tree_traversal(t, **kw)
+    quant = dual_tree_traversal(
+        t, quant_bounds=(0.0, L),
+        open_caps=expand_open_caps((96, 64, 48), t.depth, 128), **kw)
+    assert not bool(quant.overflow)
+
+    def rowsets(tbl):
+        return [frozenset(int(x) for x in row if x >= 0)
+                for row in np.asarray(tbl)]
+    assert rowsets(exact.p2p) == rowsets(quant.p2p)
+    for ta, tb in zip(exact.m2l, quant.m2l):
+        assert rowsets(ta) == rowsets(tb)
+
+
+def test_fmm_engine_quantized_traversal_forces_match():
+    """fmm_forces with cfg.traversal_quantized + open_cap_levels must give
+    the same forces as the exact-MAC engine (same pair partition at test
+    scale; physics kernels are untouched by the classification path)."""
+    cfg = _cfg(n_part_total=2048, open_cap_per_node=128,
+               p2p_neighbor_cap=192)
+    pos = _randpos(2048, 13)
+    acc0, d0 = fmm_forces(pos, cfg)
+    cfgq = cfg.replace(traversal_quantized=True,
+                       open_cap_levels=(96, 64, 48))
+    acc1, d1 = fmm_forces(pos, cfgq)
+    # conservative superset: the quantized discard horizon sits 3 grid
+    # units beyond the exact one, so a few borderline pairs (gap within
+    # ~2e-3 kpc of the cutoff) may be kept extra -- never lost
+    assert int(d1["n_p2p"]) >= int(d0["n_p2p"])
+    assert int(d1["n_p2p"]) <= int(d0["n_p2p"]) + 16
+    assert not bool(d1["overflow"])
+    # those extra pairs contribute only erfc-damped tail terms
+    rms = float(jnp.sqrt((acc0 ** 2).sum(-1)).mean())
+    diff = float(jnp.sqrt(((acc1 - acc0) ** 2).sum(-1)).max())
+    assert diff / rms < 1e-4
+
+
 def test_traversal_overflow_flag():
     pos = _randpos(2048, 4)
     t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
