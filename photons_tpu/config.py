@@ -100,6 +100,11 @@ class SimConfig:
     # cap of the level above, so capacities sized to measured occupancy
     # (expand_open_caps docstring) cut most of the traversal cost;
     # overflow trips the same elastic recovery as the uniform cap
+    p2p_hybrid_threshold: int = 64      # engine 'fmm-hybrid': leaves with
+    # <= threshold neighbor rows take the redundant (pre-gathered stream)
+    # kernel, hotter leaves the indexing (in-kernel gather) one -- the
+    # K-bucketed composition of the reference's two GPU layouts
+    # (ops/p2p_pallas.p2p_hybrid)
     traversal_quantized: bool = False   # classify MAC candidates from
     # u16 fixed-point packed node geometry (3 u32 gathers instead of 7
     # f32/i32): conservative-identical pair sets, ~2.3x less gather
@@ -109,7 +114,12 @@ class SimConfig:
     n_devices: int = 1                  # spatial shards (NprocVertical*Horizon)
     n_proc_vertical: int = 0            # NprocVertical: x extent of the 2-D
     n_proc_horizon: int = 0             # NprocHorizon: y extent; 0 0 = auto
-    shard_capacity_factor: float = 2.0  # per-shard particle padding factor
+    shard_capacity_factor: float = 1.25  # per-shard particle padding factor
+    # (was 2.0 through round 3: the hard x2 doubled every tree/traversal
+    # shape at d>1 -- the same waste measured as a 3.35x step tax at d=1.
+    # 1.25 keeps shapes near-tight; rebalancing keeps shards even like the
+    # reference (domains.c:86-144), and overflow now trips the sharded
+    # elastic recovery (gather -> grow -> redistribute) instead of dying)
     ghost_cap_factor: float = 1.0       # ghost buffer size / shard capacity
     send_cap_factor: float = 0.5        # migration buffer size / capacity
     pm_patch_factor: float = 1.5        # local PM patch size / uniform brick

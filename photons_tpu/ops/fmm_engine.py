@@ -170,6 +170,13 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
         if leaf_active is not None:
             acc_p2p = jnp.where(leaf_active[:, None, None], acc_p2p, 0.0)
         acc_leaf = acc_leaf + acc_p2p
+    elif p2p_backend == "hybrid":
+        from photons_tpu.ops.p2p_pallas import p2p_hybrid
+        acc_p2p, nbr_overflow = p2p_hybrid(
+            tree, lists, mass, cfg.soften_scale, rs, box,
+            k_threshold=cfg.p2p_hybrid_threshold, leaf_active=leaf_active,
+            cutoff=cfg.cutoff_radius if cfg.longshort else None)
+        acc_leaf = acc_leaf + acc_p2p
     elif p2p_backend in ("indexing", "redundant"):
         from photons_tpu.ops.p2p_pallas import p2p_pallas
         acc_p2p, nbr_overflow = p2p_pallas(
@@ -419,7 +426,8 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
 
 
 def fmm_forces_reuse(pos_sorted, lists: InteractionLists, pos_ref,
-                     cfg: SimConfig, p2p_backend: str = "jnp", pm_gf=None):
+                     cfg: SimConfig, p2p_backend: str = "jnp", pm_gf=None,
+                     active=None):
     """Force evaluation on CACHED interaction lists (Verlet list reuse,
     cfg.list_reuse > 1).
 
@@ -461,17 +469,28 @@ def fmm_forces_reuse(pos_sorted, lists: InteractionLists, pos_ref,
                             jnp.arange(n_leaf * leaf, dtype=jnp.int32),
                             cfg.particle_mass)
 
+    leaf_active = None
+    if active is not None:
+        # active is already in the (frozen) sorted order: leaf rows gate
+        # directly (block substeps reuse the macro-open lists;
+        # active_particle surface of inc/adaptive.h)
+        if n_pad:
+            active = jnp.concatenate([active, jnp.zeros((n_pad,), bool)])
+        leaf_active = jnp.any(active.reshape(n_leaf, leaf) & leaf_mask,
+                              axis=1)
+
     if pm_gf is not None:
         acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
         (acc_s, acc_pm_s), diag = fmm_apply(
             tree, lists, cfg, p2p_backend=p2p_backend,
-            extra_leaf=acc_pm_leaf, layout="sorted")
+            leaf_active=leaf_active, extra_leaf=acc_pm_leaf,
+            layout="sorted")
         diag = dict(diag)
         diag["cic_overflow"] = ~fits
         diag["skin_overflow"] = skin_overflow
         return (acc_s[:n], acc_pm_s[:n]), diag
     acc_s, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
-                            layout="sorted")
+                            leaf_active=leaf_active, layout="sorted")
     diag = dict(diag)
     diag["skin_overflow"] = skin_overflow
     return (acc_s[:n],), diag

@@ -546,6 +546,44 @@ def p2p_compute(prepared, eps: float, rs: Optional[float],
     return jnp.moveaxis(acc, 1, -1)                     # (nleaf, S, 3)
 
 
+def p2p_hybrid(tree, lists, mass: float, eps: float, rs: Optional[float],
+               boxsize: Optional[float], k_threshold: int = 64,
+               interpret: Optional[bool] = None, leaf_active=None,
+               cutoff: Optional[float] = None):
+    """K-bucketed hybrid of the two reference layouts (VERDICT r3 next-8).
+
+    The redundant stream wins on uniform neighbor balls (pure streaming,
+    no in-kernel gather) but its pre-gathered (nleaf, 3, K*S) source
+    copies scale with the WIDEST row: the packaged merger's Plummer cores
+    push K past HBM (measured 19.3 GB at p2p_cap 384, leaf 64 -- the
+    config the round-3 study could not run).  The indexing kernel gathers
+    through the table in-kernel, so its task list is index-only but every
+    row pays DMA latency.  Bucketing by the MEASURED row count K gets
+    both: leaves with <= k_threshold neighbors take the redundant stream
+    (whose pack is now bounded by k_threshold, not the cap), hot leaves
+    take the indexing path.  The reference bounds the same blowup by
+    flushing LEN_TASK=16384-task batches (2_Redundant/src/fmm.c:921) --
+    a time slice where this is a space slice, which TPU prefers: one
+    kernel launch per bucket instead of a flush loop.
+    """
+    import dataclasses as _dc
+    table = lists.p2p
+    rowcount = jnp.sum(table >= 0, axis=1)
+    low = rowcount <= k_threshold
+    act_lo = low if leaf_active is None else (low & leaf_active)
+    act_hi = (~low) if leaf_active is None else ((~low) & leaf_active)
+    # low rows keep all their (<= k_threshold) entries; high rows are
+    # blanked so the pack gathers nothing for them
+    tbl_lo = jnp.where(low[:, None], table[:, :k_threshold], -1)
+    acc_lo, ovf_lo = p2p_pallas(tree, _dc.replace(lists, p2p=tbl_lo),
+                                mass, eps, rs, boxsize, layout="redundant",
+                                interpret=interpret, leaf_active=act_lo)
+    acc_hi, ovf_hi = p2p_pallas(tree, lists, mass, eps, rs, boxsize,
+                                layout="indexing", interpret=interpret,
+                                leaf_active=act_hi, cutoff=cutoff)
+    return acc_lo + acc_hi, ovf_lo | ovf_hi
+
+
 def p2p_pallas(tree, lists, mass: float, eps: float, rs: Optional[float],
                boxsize: Optional[float], layout: str = "redundant",
                neighbor_cap: Optional[int] = None,

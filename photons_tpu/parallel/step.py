@@ -58,6 +58,11 @@ AXX = "x"
 AXY = "y"
 AXES = (AXX, AXY)
 
+# which sharded capacity tripped (diag["ovf_kinds"] bitmask): the sharded
+# elastic recovery grows only the config knob the bit names, like the
+# single-chip overflow_bits (ops/traversal.OVF_*)
+OVF_S_TRAV, OVF_S_GHOST, OVF_S_PM, OVF_S_MIG = 1, 2, 4, 8
+
 
 def as_grid_mesh(mesh: Mesh, cfg: Optional[SimConfig] = None) -> Mesh:
     """Coerce a mesh to the 2-D (x, y) process grid.
@@ -110,24 +115,44 @@ def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
     # shape for nothing -- measured 3.3x step-time tax at 128^3)
     factor = cfg.shard_capacity_factor if d > 1 else 1.0
     cap = int(np.ceil(n / d * factor))
-    xb = np.linspace(0.0, cfg.boxsize, dx + 1)
-    yb = np.linspace(0.0, cfg.boxsize, dy + 1)
 
     pos = np.asarray(pos)
     vel = np.asarray(vel)
+    # initial grid lines from the particle distribution's marginal
+    # quantiles (the reference's proportional initial split,
+    # domain_volume_part domains.c:401-430) -- uniform lines would
+    # overflow tight 1.25x caps on clustered ICs before the per-step
+    # rebalance ever runs
+    def _qbounds(coords, k):
+        if k == 1:
+            return np.array([0.0, cfg.boxsize])
+        inner = np.quantile(coords, np.arange(1, k) / k)
+        return np.concatenate([[0.0], np.sort(inner), [cfg.boxsize]])
+    xb = _qbounds(pos[:, 0], dx)
+    yb = _qbounds(pos[:, 1], dy)
+
     ox = np.clip(np.searchsorted(xb[1:dx], pos[:, 0], side="right"),
                  0, dx - 1)
     oy = np.clip(np.searchsorted(yb[1:dy], pos[:, 1], side="right"),
                  0, dy - 1)
     owner = ox * dy + oy
+    counts = np.bincount(owner, minlength=d)
+    if counts.max() > cap:
+        # marginal quantiles cannot balance a correlated joint
+        # distribution: grow THIS state's capacity to fit rather than
+        # fail (keeps the configured factor honest for the common case;
+        # per-step rebalancing evens the bricks out afterwards)
+        import sys
+        print(f"photoNs-TPU: initial brick max count {counts.max()} > "
+              f"cap {cap} (factor {factor:g}); growing capacity to fit",
+              file=sys.stderr, flush=True)
+        cap = int(counts.max())
     pos_p = np.zeros((d * cap, 3), dtype)
     vel_p = np.zeros((d * cap, 3), dtype)
     val_p = np.zeros((d * cap,), bool)
     for i in range(d):
         sel = owner == i
         k = int(sel.sum())
-        if k > cap:
-            raise ValueError(f"shard {i} overflows capacity {cap} ({k})")
         pos_p[i * cap:i * cap + k] = pos[sel]
         vel_p[i * cap:i * cap + k] = vel[sel]
         val_p[i * cap:i * cap + k] = True
@@ -224,7 +249,11 @@ def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
         "n_p2p": lax.psum(diag["n_p2p"], AXES),
         "n_m2l": lax.psum(n_m2l, AXES),
         "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
+        "ovf_kinds": lax.pmax(
+            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
+            | jnp.where(fdiag["overflow"], OVF_S_GHOST, 0), AXES),
         "cost": lax.all_gather(my_cost, AXES),
+        "n_shard": lax.all_gather(jnp.sum(valid).astype(jnp.int32), AXES),
         "n_global": n_global,
         # far-field ring payload per stage (max over shards): surface-leaf
         # pruning keeps this prop. to the interaction surface (VERDICT r2
@@ -399,7 +428,12 @@ def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
         "overflow": lax.pmax(
             (diag["overflow"] | g_ovf | halo_bad | pm_ovf).astype(jnp.int32),
             AXES),
+        "ovf_kinds": lax.pmax(
+            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
+            | jnp.where(g_ovf | halo_bad, OVF_S_GHOST, 0)
+            | jnp.where(pm_ovf, OVF_S_PM, 0), AXES),
         "cost": cost,
+        "n_shard": lax.all_gather(n_local.astype(jnp.int32), AXES),
         "n_global": n_global,
         "ring_bytes": jnp.asarray(min(skin_bytes, 2**31 - 1), jnp.int32),
     }
@@ -484,8 +518,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         diag = dict(diag)
         # migration overflow is per-shard: reduce before merging into the
         # replicated diag or another shard's False can mask lost particles
-        diag["overflow"] = diag["overflow"] | lax.pmax(
-            mig_ovf.astype(jnp.int32), AXES)
+        mig_red = lax.pmax(mig_ovf.astype(jnp.int32), AXES)
+        diag["overflow"] = diag["overflow"] | mig_red
+        diag["ovf_kinds"] = diag["ovf_kinds"] | jnp.where(
+            mig_red > 0, OVF_S_MIG, 0)
         return pos, vel, acc, acc_pm, valid, new_xb, new_yb, diag
 
     smapped = shard_map(
@@ -493,7 +529,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         in_specs=(shard, shard, shard, shard, shard, rep, rep,
                   gf_spec, rep, rep, rep),
         out_specs=(shard, shard, shard, shard, shard, rep, rep,
-                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep,
+                    "ovf_kinds": rep, "cost": rep, "n_shard": rep,
                     "n_global": rep, "ring_bytes": rep}),
         check_rep=False)
 
@@ -516,7 +553,8 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
         mesh=mesh,
         in_specs=(shard, shard, rep, rep, gf_spec),
         out_specs=(shard, shard,
-                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep, "cost": rep,
+                   {"n_p2p": rep, "n_m2l": rep, "overflow": rep,
+                    "ovf_kinds": rep, "cost": rep, "n_shard": rep,
                     "n_global": rep, "ring_bytes": rep}),
         check_rep=False)
 
@@ -663,6 +701,15 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
     return open_fn, _make_sub(sub_plain), _make_sub(sub_pm)
 
 
+class ShardCapacityError(RuntimeError):
+    """A sharded static capacity overflowed; ``kinds`` is the OVF_S_*
+    bitmask naming which (0 = unknown -> grow everything)."""
+
+    def __init__(self, msg: str, kinds: int = 0):
+        super().__init__(msg)
+        self.kinds = kinds
+
+
 @dataclasses.dataclass
 class ShardedSimulation:
     """Multi-chip driver: owns the mesh, sharded state, and the step fn."""
@@ -671,12 +718,74 @@ class ShardedSimulation:
     mesh: Mesh
     state: ShardedState
     p2p_backend: str = "jnp"
+    recoveries: int = 0
 
     def __post_init__(self):
         self.mesh = as_grid_mesh(self.mesh, self.cfg)
         self._step, self._init_forces = make_sharded_step(
             self.cfg, self.mesh, self.p2p_backend)
         self.n_total = int(np.asarray(self.state.valid).sum())
+
+    def occupancy(self):
+        """Per-shard fill fractions n_valid/cap of the padded state (the
+        knob shard_capacity_factor pays for; logged by the dryrun so the
+        d>1 padding tax is visible without hardware)."""
+        d = int(self.mesh.devices.size)
+        valid = np.asarray(self.state.valid).reshape(d, -1)
+        return valid.sum(axis=1) / valid.shape[1]
+
+    def _recover(self, kinds: int, prev_state: ShardedState):
+        """Sharded elastic recovery: gather the last-good state to host,
+        grow ONLY the tripped capacity knobs (x1.5), redistribute into
+        fresh padded shards, rebuild the step executables, and recompute
+        forces (pure in positions, so the rolled-back physics is exact).
+
+        The reference sizes capacities up-front and aborts on overflow
+        (pmalloc, utility.c:87-90); here the 1.25x default padding plus
+        this recovery replaces round-3's hard 2x shape padding (VERDICT
+        r3 next-7)."""
+        self.recoveries += 1
+        cfg = self.cfg
+        if kinds == 0:
+            kinds = OVF_S_TRAV | OVF_S_GHOST | OVF_S_PM | OVF_S_MIG
+
+        def up(v):
+            return -(-int(v * 1.5) // 32) * 32
+        grew = []
+        if kinds & OVF_S_TRAV:
+            levels = cfg.open_cap_levels
+            cfg = cfg.replace(
+                open_cap_per_node=up(cfg.open_cap_per_node),
+                m2l_cap_per_node=up(cfg.m2l_cap_per_node),
+                p2p_neighbor_cap=up(cfg.p2p_neighbor_cap),
+                open_cap_levels=tuple(up(v) for v in levels)
+                if levels is not None else None)
+            grew.append(f"traversal caps -> {cfg.open_cap_per_node}/"
+                        f"{cfg.m2l_cap_per_node}/{cfg.p2p_neighbor_cap}")
+        if kinds & OVF_S_GHOST:
+            cfg = cfg.replace(ghost_cap_factor=cfg.ghost_cap_factor * 1.5)
+            grew.append(f"ghost_cap_factor -> {cfg.ghost_cap_factor:.2f}")
+        if kinds & OVF_S_PM:
+            cfg = cfg.replace(pm_patch_factor=cfg.pm_patch_factor * 1.5)
+            grew.append(f"pm_patch_factor -> {cfg.pm_patch_factor:.2f}")
+        if kinds & OVF_S_MIG:
+            cfg = cfg.replace(
+                shard_capacity_factor=cfg.shard_capacity_factor * 1.5,
+                send_cap_factor=cfg.send_cap_factor * 1.5)
+            grew.append(f"shard_capacity_factor -> "
+                        f"{cfg.shard_capacity_factor:.2f}")
+        import sys
+        print(f"photoNs-TPU: sharded capacity recovery #{self.recoveries} "
+              f"(kinds={kinds:#x}): {'; '.join(grew)}",
+              file=sys.stderr, flush=True)
+        pos, vel, a = gather_state(prev_state)
+        self.cfg = cfg
+        self.state = make_sharded_state(cfg, self.mesh, pos, vel, a)
+        self.__post_init__()
+        # forces are pure in positions: recomputing restores the exact
+        # pre-step dynamical state in the new shard layout
+        self.state, diag = self._init_forces(self.state)
+        self._check(diag)
 
     @classmethod
     def from_arrays(cls, cfg: SimConfig, mesh: Mesh, pos, vel,
@@ -772,8 +881,16 @@ class ShardedSimulation:
         dk, dd = cosmology.step_factors(a0, a_final, n_steps,
                                         self.cfg.omega_m, self.cfg.omega_x)
         loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
-        self.state, diag = self._init_forces(self.state)
-        self._check(diag)
+        max_recoveries = 6
+        for _ in range(max_recoveries + 1):
+            try:
+                self.state, diag = self._init_forces(self.state)
+                self._check(diag)
+                break
+            except ShardCapacityError as e:
+                if self.recoveries >= max_recoveries:
+                    raise
+                self._recover(e.kinds, self.state)
         if profiler is not None:
             try:
                 profiler.warm(self.state)
@@ -784,9 +901,26 @@ class ShardedSimulation:
         for i in range(n_steps):
             t0 = time.perf_counter()
             a_now = float(np.exp(loga[i + 1]))
-            self.state, diag = self._step(self.state, float(dk[i]),
-                                          float(dd[i]), a_now)
-            self._check(diag)                    # host-read: completion fence
+            prev = self.state
+            while True:
+                try:
+                    self.state, diag = self._step(prev, float(dk[i]),
+                                                  float(dd[i]), a_now)
+                    self._check(diag)            # host-read: completion fence
+                    break
+                except ShardCapacityError as e:
+                    # the overflowing step's outputs are invalid: roll back
+                    # to the pre-step state, grow the tripped knobs,
+                    # redistribute, and replay this step
+                    if self.recoveries >= max_recoveries:
+                        raise
+                    self._recover(e.kinds, prev)
+                    prev = self.state
+                    if run_log is not None:
+                        run_log.note(
+                            f"# capacity recovery (kinds="
+                            f"{e.kinds:#x}): step {i} replayed on the "
+                            f"regrown layout")
             wall = time.perf_counter() - t0
             if profiler is not None and i % profile_interval == 0:
                 try:
@@ -873,10 +1007,10 @@ class ShardedSimulation:
     def _check(self, diag):
         self.last_diag = {k: np.asarray(v) for k, v in diag.items()}
         if int(self.last_diag["overflow"]):
-            raise RuntimeError(
+            raise ShardCapacityError(
                 "sharded-step capacity overflow (traversal caps, ghost/send "
-                "capacity, or shard capacity) -- enlarge the corresponding "
-                "config knobs")
+                "capacity, or shard capacity)",
+                kinds=int(self.last_diag.get("ovf_kinds", 0)))
         # global invariant from the domain tree (walk_toptree_m2m parity):
         # the binary-tree root count must equal the number of particles we
         # started with -- catches silent drops the overflow flags missed
@@ -903,11 +1037,26 @@ class ShardedSimulation:
         n = cfg.n_side
         if n_bins <= 0:
             n_bins = n // 2
-        px = patch_geometry(n, dx, cfg.pm_patch_factor)
-        py = patch_geometry(n, dy, cfg.pm_patch_factor)
+        delta_cell = cfg.boxsize / n
+        # patch extents from the CURRENT bounds, not the uniform-brick
+        # assumption: quantile initial splits / rebalanced bounds give
+        # sparse regions WIDE bricks (wider than pm_patch_factor x
+        # uniform), and a too-small static patch silently dropped their
+        # mass before round 4 (the per-shard lost flag was also never
+        # reduced -- see the pmax below).  This is a host-driven
+        # observable, so sizing from the live bounds just recompiles when
+        # the layout changed.
+        def _span(bounds, d_axis):
+            if d_axis == 1:
+                return n
+            b = np.asarray(bounds)
+            return min(n, int(np.ceil(np.diff(b).max() / delta_cell)) + 5)
+        px = max(patch_geometry(n, dx, cfg.pm_patch_factor),
+                 _span(self.state.xbounds, dx))
+        py = max(patch_geometry(n, dy, cfg.pm_patch_factor),
+                 _span(self.state.ybounds, dy))
         hx = min(dx // 2, -(-(px + 4) // (n // dx))) if dx > 1 else 0
         hy = min(dy // 2, -(-(py + 4) // (n // dy))) if dy > 1 else 0
-        delta_cell = cfg.boxsize / n
         dtype = jnp.dtype(cfg.dtype)
 
         def fn(pos, valid, xb, yb):
@@ -924,7 +1073,11 @@ class ShardedSimulation:
             delta = brick / mean - 1.0
             ks, ps, nm = pencil_power_spectrum(delta, n, n_bins, AXX, AXY,
                                                deconvolve=deconvolve)
-            return ks, ps, nm, lost | fovf
+            # the overflow is per-shard: REDUCE it, or shard 0's False
+            # masks another shard's lost mass (the silent-truncation bug
+            # that hid the wide-brick patch shortfall until round 4)
+            ovf = lax.pmax((lost | fovf).astype(jnp.int32), (AXX, AXY))
+            return ks, ps, nm, ovf
 
         smap = shard_map(
             fn, mesh=mesh, in_specs=(P(AXES), P(AXES), P(), P()),

@@ -120,6 +120,16 @@ class PhaseProfiler:
             self.f_collect = None
             self.f_p2p = _aot(jax.jit(lambda tree, lists: p2p_jnp(
                 tree, lists, mass, cfg.soften_scale, rs, box)))
+        elif backend == "hybrid":
+            # the K-bucketed pair of kernels has two collect phases; the
+            # profiler times the whole P2P as one kernel phase (the
+            # reference's dtime_p2p_self) without the collect split
+            from photons_tpu.ops.p2p_pallas import p2p_hybrid
+            self.f_collect = None
+            self.f_p2p = _aot(jax.jit(lambda tree, lists: p2p_hybrid(
+                tree, lists, mass, cfg.soften_scale, rs, box,
+                k_threshold=cfg.p2p_hybrid_threshold,
+                cutoff=cfg.cutoff_radius if cfg.longshort else None)[0]))
         else:
             from photons_tpu.ops.p2p_pallas import p2p_compute, p2p_prepare
 

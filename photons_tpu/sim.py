@@ -427,6 +427,7 @@ class Simulation:
         self._step_fn = make_step_fn(self.cfg, self._force_fn)
         self._force_jit = jax.jit(self._force_fn)
         self._block_fns = None              # built lazily (adaptive="block")
+        self._block_fast = None             # sorted fused block substeps
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -935,6 +936,173 @@ class Simulation:
 
         self._block_fns = (short, pm, kick, drift, levels_of)
 
+    def _build_block_fns_sorted(self):
+        """Production-speed block substeps (VERDICT r3 next-3).
+
+        The round-3 block path drove the UNSORTED engine plus the XLA PM
+        per substep, so each substep cost ~3x the optimized fixed step and
+        refinement could only multiply wall-clock (the abandoned adaptive
+        production run: 75 -> 282 s/step vs 10.8 fixed).  This path reuses
+        the sorted fused machinery of the fixed step -- Pallas-CIC PM on
+        the shared tree, no unsort scatter -- plus Verlet-list reuse
+        WITHIN the macro step: substep 0 rebuilds tree+lists with the
+        skin-inflated cutoff, later substeps refresh only geometry and
+        multipoles (tree_from_sorted) and gate kernel rows by the closing
+        set, and PM runs once on the macro close.  Requires an fmm engine
+        with cfg.sorted_state and TreePM (longshort) + Pallas CIC; other
+        configs keep the generic (slow) path.
+        Returns None if the config does not qualify."""
+        cfg = self.cfg
+        if not (self.engine.startswith("fmm") and cfg.sorted_state
+                and cfg.longshort):
+            return None
+        use_pallas_cic = (cfg.cic_backend == "pallas"
+                          or (cfg.cic_backend == "auto"
+                              and jax.default_backend() == "tpu"))
+        if not use_pallas_cic:
+            return None
+        from photons_tpu.ops.fmm_engine import fmm_forces, fmm_forces_reuse
+        from photons_tpu.pm.solver import green_function_traced
+        backend = self.engine.partition("-")[2] or "jnp"
+        dtype = jnp.dtype(cfg.dtype)
+        grav = cfg.grav_const
+        gf_t = partial(green_function_traced, cfg.n_side, cfg.boxsize,
+                       cfg.split_radius, dtype=dtype)
+        # skin-inflated traversal cutoff so the macro-open lists stay
+        # valid supersets across every substep (fmm_forces only inflates
+        # when list_reuse > 1)
+        cfgb = cfg.replace(list_reuse=max(cfg.list_reuse, 2))
+
+        def _rebuild(pos, active, with_pm):
+            out, diag = fmm_forces(
+                pos, cfgb, p2p_backend=backend, active=active,
+                pm_gf=gf_t if with_pm else None, layout="sorted",
+                return_lists=True)
+            return out, diag
+
+        rebuild_pm = _aot_wrap(jax.jit(
+            lambda pos, act: _rebuild(pos, act, True)))
+        rebuild_plain = _aot_wrap(jax.jit(
+            lambda pos, act: _rebuild(pos, act, False)))
+        reuse_pm = _aot_wrap(jax.jit(
+            lambda ps, lists, ref, act: fmm_forces_reuse(
+                ps, lists, ref, cfgb, p2p_backend=backend, pm_gf=gf_t,
+                active=act)))
+        reuse_plain = _aot_wrap(jax.jit(
+            lambda ps, lists, ref, act: fmm_forces_reuse(
+                ps, lists, ref, cfgb, p2p_backend=backend, active=act)))
+
+        @jax.jit
+        def gated_kick_drift(pos, vel, acc, acc_pm, levels, dkh_arr, dd):
+            dkh = (dkh_arr[levels] * grav)[:, None]
+            vel = vel + (acc + acc_pm) * dkh
+            pos = pos + vel * dd
+            if cfg.periodic:
+                pos = wrap_periodic(pos, cfg.boxsize)
+            return pos, vel
+
+        @jax.jit
+        def gated_close(vel, acc, acc_pm, levels, dkh_arr):
+            return vel + (acc + acc_pm) * (dkh_arr[levels] * grav)[:, None]
+
+        @jax.jit
+        def permute_cols(perm, vel, levels, acc, acc_pm, ids):
+            return (vel[perm], levels[perm], acc[perm], acc_pm[perm],
+                    None if ids is None else ids[perm])
+
+        @jax.jit
+        def apply_active(acc_old, acc_new, active):
+            return jnp.where(active[:, None], acc_new, acc_old)
+
+        @jax.jit
+        def levels_of(acc, acc_pm, tau, eta, max_level):
+            amag = jnp.sqrt(jnp.sum((acc + acc_pm) ** 2, axis=-1))
+            dt_req = eta * jnp.sqrt(
+                cfg.soften_scale / (jnp.maximum(amag, 1e-30) * grav))
+            lv = jnp.ceil(jnp.log2(jnp.maximum(tau / dt_req, 1.0)))
+            return jnp.clip(lv, 0, max_level).astype(jnp.int32)
+
+        return dict(rebuild_pm=rebuild_pm, rebuild_plain=rebuild_plain,
+                    reuse_pm=reuse_pm, reuse_plain=reuse_plain,
+                    gated_kick_drift=gated_kick_drift,
+                    gated_close=gated_close, permute_cols=permute_cols,
+                    apply_active=apply_active, levels_of=levels_of)
+
+    def _block_macro_step_sorted(self, loga0: float, loga1: float,
+                                 eta: float, max_level: int):
+        """One macro step of sorted fused block-KDK substeps (see
+        _build_block_fns_sorted)."""
+        fns = self._block_fast
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        om, ox = cfg.omega_m, cfg.omega_x
+        s = self.state
+        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+
+        tau = kf(loga0, loga1)
+        levels = fns["levels_of"](s.acc, s.acc_pm, tau, eta, max_level)
+        level_max = int(jnp.max(levels))
+        # level census for eta calibration / telemetry (the reference logs
+        # adaptive_level_maximum, utility.c:16; we keep the histogram)
+        self.last_levels = np.bincount(np.asarray(levels),
+                                       minlength=max_level + 1)
+        nf = 1 << level_max
+        sub = np.linspace(loga0, loga1, nf + 1)
+        blocks = [1 << max(level_max - l, 0) for l in range(max_level + 1)]
+
+        pos, vel, acc, acc_pm, ids = s.pos, s.vel, s.acc, s.acc_pm, s.ids
+        lists = pos_ref = None
+        diag: dict = {}
+        n_eval = 0
+        for j in range(nf):
+            dkh_open = jnp.asarray(
+                [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
+                 for b in blocks], dtype)
+            dd = float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
+            pos, vel = fns["gated_kick_drift"](pos, vel, acc, acc_pm,
+                                               levels, dkh_open, dd)
+            closing = jnp.asarray(
+                np.array([(j + 1) % b == 0 for b in blocks]))
+            active = closing[levels]
+            with_pm = j == nf - 1
+            if lists is None:
+                if with_pm:
+                    (acc_new, acc_pm_new, pos_s, perm, lists), dsub = \
+                        fns["rebuild_pm"](pos, active)
+                else:
+                    (acc_new, pos_s, perm, lists), dsub = \
+                        fns["rebuild_plain"](pos, active)
+                vel, levels, acc, acc_pm, ids = fns["permute_cols"](
+                    perm, vel, levels, acc, acc_pm, ids)
+                pos = pos_ref = pos_s
+                active = closing[levels]
+            else:
+                if with_pm:
+                    (acc_new, acc_pm_new), dsub = fns["reuse_pm"](
+                        pos, lists, pos_ref, active)
+                else:
+                    (acc_new,), dsub = fns["reuse_plain"](
+                        pos, lists, pos_ref, active)
+            acc = fns["apply_active"](acc, acc_new, active)
+            if with_pm:
+                acc_pm = acc_pm_new
+            dkh_close = jnp.asarray(
+                [0.5 * kf(sub[j + 1 - b], sub[j + 1])
+                 if (j + 1) % b == 0 else 0.0 for b in blocks], dtype)
+            vel = fns["gated_close"](vel, acc, acc_pm, levels, dkh_close)
+            n_eval += 1
+            dsub = dict(dsub)
+            for key in ("overflow", "overflow_bits", "cic_overflow",
+                        "skin_overflow"):
+                if key in dsub and key in diag:
+                    dsub[key] = dsub[key] | diag[key]
+            diag = dsub
+        diag["n_force_evals"] = n_eval
+        self.max_adaptive_level = max(self.max_adaptive_level, level_max)
+        state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
+                         a=jnp.asarray(np.exp(loga1), dtype), ids=ids)
+        return state, diag
+
     def _block_macro_step(self, loga0: float, loga1: float, eta: float,
                           max_level: int):
         """One macro step as per-particle block-KDK substeps.
@@ -944,6 +1112,11 @@ class Simulation:
         holding closing particles (the reference's active_particle gating,
         done as kernel-row skipping).  With all levels at 0 this reduces
         exactly to the fixed KDK step."""
+        if self._block_fast is None:
+            self._block_fast = self._build_block_fns_sorted() or False
+        if self._block_fast:
+            return self._block_macro_step_sorted(loga0, loga1, eta,
+                                                 max_level)
         if self._block_fns is None:
             self._build_block_fns()
         short, pm, kick, drift, levels_of = self._block_fns

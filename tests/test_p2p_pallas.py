@@ -63,6 +63,44 @@ def test_pallas_backend_matches_jnp(backend, periodic):
     assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
 
 
+def test_hybrid_backend_matches_jnp_on_clustered():
+    """engine=fmm-hybrid (K-bucketed composition of the two layouts,
+    VERDICT r3 next-8): a dense blob drives some leaves' neighbor rows
+    past the threshold (indexing bucket) while the uniform background
+    stays below (redundant bucket); total forces must match the jnp
+    reference, with BOTH buckets exercised."""
+    from photons_tpu.ops.traversal import dual_tree_traversal
+    from photons_tpu.tree.build import build_tree
+
+    rng = np.random.default_rng(11)
+    n = 1536
+    blob = np.mod(rng.normal(0.4 * L, 0.015 * L, (n // 2, 3)), L)
+    pos = np.concatenate([rng.uniform(0, L, (n - n // 2, 3)), blob])
+    cfg = SimConfig(boxsize=L, n_side=32, n_part_total=n, dtype="float64",
+                    leaf_size=16, periodic=True, longshort=True,
+                    p2p_neighbor_cap=96, p2p_hybrid_threshold=24)
+    pos = jnp.asarray(pos)
+
+    # confirm the bucket split is non-trivial at this threshold
+    t = build_tree(pos, mass=cfg.particle_mass, leaf_size=16, lo=0.0, hi=L)
+    lists = dual_tree_traversal(t, theta=cfg.open_angle,
+                                cutoff=cfg.cutoff_radius, boxsize=L,
+                                open_cap=cfg.open_cap_per_node,
+                                m2l_cap=cfg.m2l_cap_per_node,
+                                p2p_cap=cfg.p2p_neighbor_cap)
+    rows = np.asarray((lists.p2p >= 0).sum(axis=1))
+    assert (rows > cfg.p2p_hybrid_threshold).any(), "no indexing bucket"
+    assert ((rows > 0) & (rows <= cfg.p2p_hybrid_threshold)).any(), \
+        "no redundant bucket"
+
+    ref, _ = jax.jit(lambda p: fmm_forces(p, cfg, p2p_backend="jnp"))(pos)
+    acc, diag = jax.jit(lambda p: fmm_forces(p, cfg,
+                                             p2p_backend="hybrid"))(pos)
+    assert not bool(diag["overflow"])
+    rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
+    assert float(jnp.abs(acc - ref).max()) / rms < 2e-5
+
+
 def test_pallas_uneven_leaf_occupancy():
     """N not a multiple of leaf_size: padded slots must contribute nothing."""
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=1000, dtype="float64",

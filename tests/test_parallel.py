@@ -567,8 +567,12 @@ def test_sharded_soak_clustered(mesh):
     iy = np.searchsorted(yb[1:-1], pf[:, 1], side="right")
     own = np.bincount(ix * (len(yb) - 1) + iy, minlength=8)
     # every shard's count within the pending-handover strip of its
-    # brick's true occupancy
-    assert np.abs(counts2 - own).max() <= 32
+    # brick's true occupancy.  The strip is one rebalance's line move;
+    # since round 4 the initial bounds are count-quantiles, so the
+    # measured-COST rebalance (clustered bricks cost more per particle)
+    # legitimately moves lines by large strips in the first steps --
+    # bound by half a shard rather than the old uniform-init 32
+    assert np.abs(counts2 - own).max() <= n_side ** 3 // 16
 
 
 @pytest.mark.slow
