@@ -701,6 +701,7 @@ class Simulation:
             profiler.warm(self.state.pos)
 
         self.max_adaptive_level = 0
+        self.last_level_max = 0          # level of the CURRENT macro step
         # rollback point for elastic capacity recovery: results between
         # verified syncs are invalid if an overflow is detected
         verified_state, verified_i = self.state, 0
@@ -739,6 +740,7 @@ class Simulation:
                     float(loga[i]), float(loga[i + 1]), eta, max_level)
             elif adaptive:
                 level = self._adaptive_level(float(dk[i]), eta, max_level)
+                self.last_level_max = level
                 self.max_adaptive_level = max(self.max_adaptive_level, level)
                 n_sub = 1 << level
                 sub_loga = np.linspace(loga[i], loga[i + 1], n_sub + 1)
@@ -782,7 +784,8 @@ class Simulation:
             # real per-step wall-clock when fencing is on, else the honest
             # window average (axon dispatch returns instantly, so unfenced
             # per-step time.perf_counter deltas measure nothing)
-            pending_rows.append([i, a_now, None])
+            pending_rows.append([i, a_now, None,
+                                 getattr(self, "last_level_max", 0)])
 
             snap_due = bool(snap_left) and a_now >= snap_left[0] - 1e-12
             sync = (i % check_interval == check_interval - 1
@@ -826,7 +829,7 @@ class Simulation:
 
                 window_wall = time.perf_counter() - window_t0
                 step_avg = window_wall / max(1, len(pending_rows))
-                for _, _, rdt in pending_rows:
+                for _, _, rdt, _lv in pending_rows:
                     self.timers.add("step",
                                     rdt if rdt is not None else step_avg)
                 if (profiler is not None
@@ -862,14 +865,14 @@ class Simulation:
                 windows_done += 1
                 if self.log is not None:
                     phases = self.timers.latest()
-                    for ri, ra, rdt in pending_rows:
+                    for ri, ra, rdt, rlvl in pending_rows:
                         self.log.log_step(
                             ri, ra,
                             {**phases,
                              "step": rdt if rdt is not None else step_avg},
                             n_p2p=self.last_diag.get("n_p2p", 0),
                             n_m2l=self.last_diag.get("n_m2l", 0),
-                            level=getattr(self, "max_adaptive_level", 0))
+                            level=rlvl)
                 pending_rows = []
 
             while snap_left and a_now >= snap_left[0] - 1e-12:
@@ -1098,6 +1101,7 @@ class Simulation:
                     dsub[key] = dsub[key] | diag[key]
             diag = dsub
         diag["n_force_evals"] = n_eval
+        self.last_level_max = level_max
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                          a=jnp.asarray(np.exp(loga1), dtype), ids=ids)
@@ -1165,6 +1169,7 @@ class Simulation:
         if "overflow" in diag:
             diag = dict(diag)
             diag["overflow"] = overflow
+        self.last_level_max = level_max
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                          a=jnp.asarray(np.exp(loga1), dtype), ids=s.ids)

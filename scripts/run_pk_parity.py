@@ -67,7 +67,7 @@ def main():
     # caps pre-sized for z=0 clustering at 256^3 (VERDICT r2 next-7:
     # p2p rows exceed 160 by z~13 under the old 96 default, costing
     # elastic-recovery recompiles mid-run; a full run must finish with 0)
-    ap.add_argument("--open-cap", type=int, default=128)
+    ap.add_argument("--open-cap", type=int, default=192)
     ap.add_argument("--p2p-cap", type=int, default=192)
     ap.add_argument("--cic-straddler-cap", type=int, default=192,
                     help="XLA residual-path capacity for leaves whose CIC "
@@ -80,15 +80,20 @@ def main():
                          "up-front the same way)")
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
-    ap.add_argument("--open-cap-levels", default="96,64,48",
+    ap.add_argument("--open-cap-levels", default="160,96,96",
                     help="leaf-anchored per-level open-cap schedule "
                          "(deepest internal level first; shallower levels "
-                         "reuse the last entry).  Measured IC-regime "
-                         "occupancy is <= 32/row at every level "
-                         "(artifacts/traversal_profile_256.json) and the "
-                         "deep levels are gather-bound, so tapered caps "
-                         "cut most of the traversal cost.  '' = uniform "
-                         "--open-cap")
+                         "reuse the last entry).  The deep levels are "
+                         "gather-bound (artifacts/traversal_profile_256."
+                         "json: IC occupancy <= 32/row vs the old uniform "
+                         "128), so tapered caps carry most of the 9.05 -> "
+                         "5.98 s/step cut.  The default is what the "
+                         "z=0-clustering elastic recovery settled on in "
+                         "the round-4 production run ((96,64,48) tripped "
+                         "ONCE at z~6.7 and grew to this; steps 48-100, "
+                         "the most clustered, then ran overflow-free) -- "
+                         "pre-sizing it makes full runs zero-recovery.  "
+                         "'' = uniform --open-cap")
     ap.add_argument("--no-quantized-mac", action="store_true",
                     help="disable the packed u16 fixed-point MAC gathers "
                          "(ops/traversal.pack_node_geometry) and classify "
@@ -202,6 +207,7 @@ def main():
         "adaptive": args.adaptive,
         "max_adaptive_level": int(getattr(sim, "max_adaptive_level", 0)),
         "final_caps": {"open": sim.cfg.open_cap_per_node,
+                       "open_levels": list(sim.cfg.open_cap_levels or ()),
                        "p2p": sim.cfg.p2p_neighbor_cap,
                        "m2l": sim.cfg.m2l_cap_per_node,
                        "cic_straddler": sim.cfg.cic_straddler_cap,
