@@ -78,6 +78,12 @@ class SimConfig:
 
     # --- numerics ----------------------------------------------------------
     dtype: str = "float32"              # device dtype for particle state
+    pm_gradient: str = "fd4k"           # force differentiation: "fd4k"
+    # (default) evaluates the reference's 4th-order stencil in k-space
+    # (identical discrete operator by the convolution theorem, immune to
+    # the f32 differencing cancellation -- pm/solver.gradient_fd4_k);
+    # "fd4" is the literal real-space stencil (partmesh.c:1318-1383);
+    # "spectral" exact-ik differentiation
     cic_backend: str = "auto"           # CIC paint/readout: "auto" uses the
     # Pallas leaf-brick kernels on TPU (pm/cic_pallas.py) and XLA
     # scatter/gather elsewhere; "xla" / "pallas" force a choice

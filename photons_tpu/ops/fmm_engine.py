@@ -308,9 +308,28 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
         n_side, n_side, n_side)
     if callable(gf):
         gf = gf()
-    phi = pm_potential(dens, gf.astype(dens.dtype))
-    grad = gradient_4th(phi, box)
-    fields = tuple(pad_periodic(grad[..., c], n_side) for c in range(3))
+    if cfg.pm_gradient in ("fd4k", "spectral"):
+        from photons_tpu.pm.solver import (gradient_fd4_k, rfft3,
+                                           spectral_gradient)
+        conv_k = rfft3(dens) * gf.astype(dens.dtype)
+        if cfg.pm_gradient == "fd4k":
+            gfields = gradient_fd4_k(conv_k, box, n_side, dens.dtype)
+        else:
+            g4 = spectral_gradient(conv_k, box, n_side, dens.dtype)
+            gfields = tuple(g4[..., c] for c in range(3))
+        # layout firewall (same reason as the dens barrier above, in the
+        # other direction): fft-thunk outputs can carry a non-major
+        # layout that the Pallas read kernels misread in SOME jit
+        # contexts -- the standalone PM-chain check measured 0.3 rms
+        # garbage while the full engine graph was fine
+        gfields = tuple(
+            jax.lax.optimization_barrier(g.reshape(-1)).reshape(g.shape)
+            for g in gfields)
+    else:
+        phi = pm_potential(dens, gf.astype(dens.dtype))
+        grad = gradient_4th(phi, box)
+        gfields = tuple(grad[..., c] for c in range(3))
+    fields = tuple(pad_periodic(g, n_side) for g in gfields)
     # pass positions in their native dtype: the kernels compute CIC weights
     # in the input dtype, so paint and readout agree on cell rounding (an
     # f32 downcast here silently degraded readout coords in f64 runs)
@@ -324,8 +343,10 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
         # selects the original row) and, unlike a delta-add, stays robust
         # if a garbage row ever carries NaN/Inf (ADVICE round 2).
         def _fix(acc_leaf):
-            svals = cic_read_vector(grad, spos.reshape(-1, 3), box,
-                                    n_side).reshape(k_cap, -1, 3)
+            svals = jnp.concatenate(
+                [cic_read_vector(g[..., None], spos.reshape(-1, 3), box,
+                                 n_side) for g in gfields],
+                axis=-1).reshape(k_cap, -1, 3)
             new = jnp.where(gate[:, None, None],
                             svals.astype(acc_leaf.dtype), acc_leaf[sidx])
             return acc_leaf.at[sidx].set(new)

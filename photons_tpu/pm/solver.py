@@ -98,6 +98,24 @@ _FFT_SAFE_LEN = 256
 
 def _fft1(a, inverse: bool):
     """C2C FFT along the LAST axis via radix-2 splits to safe lengths."""
+    return _fft1_impl(a, inverse)
+
+
+def _interleave_last(xe, xo, n: int):
+    """[e0, o0, e1, o1, ...] along the last axis, lane-safely.
+
+    ``stack([xe, xo], -1).reshape(..., n)`` creates a trailing length-2
+    axis whose (8,128) tiling pads 2 -> 128 lanes when XLA materializes
+    it as a copy: a 34 GB allocation at 512^3 (measured through the fd4k
+    gradient program; the production potential path only survived by
+    fusion luck).  repeat + iota-parity select keeps every intermediate
+    at the full lane width."""
+    k = jnp.arange(n)
+    return jnp.where(k % 2 == 0, jnp.repeat(xe, 2, axis=-1),
+                     jnp.repeat(xo, 2, axis=-1))
+
+
+def _fft1_impl(a, inverse: bool):
     n = a.shape[-1]
     if n <= _FFT_SAFE_LEN or n % 2:
         return jnp.fft.ifft(a, axis=-1) if inverse else jnp.fft.fft(a, axis=-1)
@@ -110,7 +128,7 @@ def _fft1(a, inverse: bool):
         ow = 0.5 * (a[..., :h] - a[..., h:])
         xe = _fft1(e, True)
         xo = _fft1(w * ow, True)
-        return jnp.stack([xe, xo], -1).reshape(a.shape)
+        return _interleave_last(xe, xo, n)
     e = _fft1(a[..., 0::2], False)
     o = _fft1(a[..., 1::2], False)
     k = jnp.arange(h)
@@ -162,7 +180,7 @@ def _irfft1(x, n: int):
     o = w * ow
     xe = _irfft1(e[..., :h // 2 + 1], h)
     xo = _irfft1(o[..., :h // 2 + 1], h)
-    return jnp.stack([xe, xo], -1).reshape(x.shape[:-1] + (n,))
+    return _interleave_last(xe, xo, n)
 
 
 def rfft3(x):
@@ -206,6 +224,52 @@ def gradient_4th(phi, boxsize: float):
                 - f2 * (jnp.roll(phi, -2, axis) - jnp.roll(phi, 2, axis))) * inv2d
 
     return jnp.stack([d(0), d(1), d(2)], axis=-1)
+
+
+def gradient_fd4_k(conv_k, boxsize: float, n_side: int, dtype):
+    """The reference's 4th-order stencil evaluated in k-space.
+
+    D(k) = [8 sin(k d) - sin(2 k d)] / (6 d) is gradient_4th's exact
+    transfer function (partmesh.c:1318-1383 with d = L/n); multiplying
+    the potential spectrum by i D(k_c) per axis and inverse-transforming
+    is the SAME discrete operator by the convolution theorem -- but it
+    sidesteps the f32 catastrophic cancellation of real-space
+    differencing.  phi is dominated by its longest modes, so neighboring
+    cells cancel ~1e4x in the stencil: at a 512^3 mesh the f32 FFT's
+    2e-7 potential noise became 2e-3 gradient noise, and the f32 cast of
+    phi alone cost 7e-4 (scripts/check_pm_chain.py stages F/G) -- the
+    entire gap between the measured 1.3e-3 total-force error and the
+    16^3 ladder's 6.3e-4 discretization floor.
+
+    Input: conv_k = rfft3(density) * green_function.  Returns a tuple of
+    three (n, n, n) real fields (separate arrays: a trailing length-3
+    axis tile-pads 42x on TPU, see pm.mesh notes).
+    """
+    from jax import lax
+
+    d = boxsize / n_side
+    rdt = conv_k.real.dtype
+    kshape = (n_side, n_side, n_side // 2 + 1)
+
+    # FULL-shape D fields built from iota in-trace: a broadcast multiply
+    # by a (1,1,K)-shaped vector makes XLA copy the complex spectrum into
+    # a layout whose trailing (re,im) pair lane-pads 64x -- a 34 GB
+    # allocation at 512^3 (measured).  Full-shape elementwise multiplies
+    # follow pm_potential's proven layout path and fuse into the FFT.
+    def dfield(ax):
+        i = lax.broadcasted_iota(rdt, kshape, ax)
+        l = i if ax == 2 else jnp.where(i <= n_side // 2, i, i - n_side)
+        kd = (2.0 * jnp.pi / n_side) * l
+        return (8.0 * jnp.sin(kd) - jnp.sin(2.0 * kd)) / (6.0 * d)
+
+    out = []
+    for ax in range(3):
+        z = conv_k * dfield(ax)
+        # multiply by i without a complex-constant broadcast:
+        # i (a + ib) = -b + ia
+        out.append(irfft3(lax.complex(-jnp.imag(z), jnp.real(z)),
+                          n_side, dtype))
+    return tuple(out)
 
 
 def spectral_gradient(phi_k, boxsize: float, n_side: int, dtype):
