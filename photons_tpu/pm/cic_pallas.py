@@ -121,6 +121,13 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+MAX_PREFETCH_ROWS = 1 << 17
+"""Max leaf rows per kernel call: the per-leaf packed origins ride the
+scalar-prefetch channel into SMEM (1 MB), so 512^3-scale leaf counts
+(1M at S=128) must be row-chunked (measured: a 4 MB SMEM demand fails
+AOT compilation)."""
+
+
 def _z_weights(coord, inv_delta, oz, tz: int, wts=None):
     """Window-relative z CIC weight matrix (S, tz).
 
@@ -223,6 +230,20 @@ def paint_leaves(leaf_pos, leaf_wts, origins, n_side: int, tile: int,
     shift exact instead of round-tripping through * delta.
     """
     n_leaf, s = leaf_wts.shape
+    if n_leaf > MAX_PREFETCH_ROWS:
+        # the per-leaf origin array rides the scalar-prefetch channel:
+        # SMEM is 1 MB, so >256K leaves cannot prefetch in one call
+        # (512^3 at S=128 has 1M leaves -- measured 4 MB SMEM demand).
+        # Chunk the TARGET rows; each call paints its own mesh, summed.
+        out = None
+        for c0 in range(0, n_leaf, MAX_PREFETCH_ROWS):
+            c1 = c0 + MAX_PREFETCH_ROWS
+            part = paint_leaves(leaf_pos[c0:c1], leaf_wts[c0:c1],
+                                origins[c0:c1], n_side, tile, boxsize,
+                                interpret=interpret, dims=dims,
+                                cell_units=cell_units)
+            out = part if out is None else out + part
+        return out
     if dims is None:
         _, npx, npy, npz = _mesh_dims(n_side)
     else:
@@ -327,6 +348,16 @@ def read_leaves(leaf_pos, padded_fields, origins, n_side: int, tile: int,
     ``dims`` / ``cell_units``: see :func:`paint_leaves`.
     """
     n_leaf, s = leaf_pos.shape[:2]
+    if n_leaf > MAX_PREFETCH_ROWS:
+        # see paint_leaves: the origin scalar-prefetch caps the rows per
+        # call; readout rows are independent, so chunk + concatenate
+        return jnp.concatenate(
+            [read_leaves(leaf_pos[c0:c0 + MAX_PREFETCH_ROWS],
+                         padded_fields,
+                         origins[c0:c0 + MAX_PREFETCH_ROWS], n_side, tile,
+                         boxsize, interpret=interpret, dims=dims,
+                         cell_units=cell_units)
+             for c0 in range(0, n_leaf, MAX_PREFETCH_ROWS)], axis=0)
     if dims is None:
         _, npx, npy, npz = _mesh_dims(n_side)
     else:

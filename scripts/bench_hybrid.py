@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--steps", type=int, default=5,
                     help="timed kernel invocations (chained, one fence)")
     ap.add_argument("--p2p-cap", type=int, default=320)
+    ap.add_argument("--redundant-cap", type=int, default=128,
+                    help="neighbor_cap for the pure-redundant engine: its "
+                         "pre-gathered stream is (nleaf, 3, cap*S) -- the "
+                         "full study cap is 8 GB at 128^3/cap 320 "
+                         "(compile OOM).  Rows wider than this overflow "
+                         "honestly (the layout's documented limit)")
     ap.add_argument("--threshold", type=int, default=64)
     ap.add_argument("--kinds", default="uniform,mild,strong,extreme")
     ap.add_argument("--engines", default="redundant,indexing,hybrid")
@@ -82,15 +88,20 @@ def main():
     rs, cutoff = cfg.split_radius, cfg.cutoff_radius
     results = []
 
+    # clustered tiers need fatter static caps (measured: strong/extreme
+    # overflow the uniform-tier 256/320)
+    kind_caps = {"uniform": (256, 320), "mild": (256, 320),
+                 "strong": (512, 512), "extreme": (768, 768)}
     for kind in args.kinds.split(","):
+        open_cap, p2p_cap = kind_caps.get(kind, (256, args.p2p_cap))
         pos = jnp.asarray(make_state(kind, n_part, L, rng), jnp.float32)
         tree = jax.block_until_ready(build_tree(
             pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
             lo=0.0, hi=L))
         lists = jax.block_until_ready(dual_tree_traversal(
             tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=L,
-            open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
-            p2p_cap=cfg.p2p_neighbor_cap, quant_bounds=(0.0, L)))
+            open_cap=open_cap, m2l_cap=cfg.m2l_cap_per_node,
+            p2p_cap=p2p_cap, quant_bounds=(0.0, L)))
         if bool(lists.overflow):
             print(f"{kind}: traversal overflow at caps "
                   f"{cfg.open_cap_per_node}/{cfg.p2p_neighbor_cap} -- "
@@ -118,14 +129,17 @@ def main():
                     acc, ovf = p2p_pallas(
                         tree, lists, cfg.particle_mass, cfg.soften_scale,
                         rs, L, layout=engine,
+                        neighbor_cap=args.redundant_cap
+                        if engine == "redundant" else None,
                         cutoff=cutoff if engine == "indexing" else None)
-                return acc
+                return acc, ovf
             f = jax.jit(run_once)
             try:
-                out = jax.block_until_ready(f())       # compile + warm
+                out, ovf = jax.block_until_ready(f())   # compile + warm
+                truncated = bool(np.asarray(ovf))
                 t0 = time.perf_counter()
                 for _ in range(args.steps):
-                    out = f()
+                    out, ovf = f()
                 float(jnp.sum(out[0, 0]))               # chained fence
                 dt = (time.perf_counter() - t0) / args.steps
             except Exception as e:
@@ -136,11 +150,13 @@ def main():
                 gc.collect()
                 continue
             rate = pairs / dt
-            print(f"{kind}/{engine}: {dt*1e3:.1f} ms, {rate:.3e} pairs/s",
+            print(f"{kind}/{engine}: {dt*1e3:.1f} ms, {rate:.3e} pairs/s"
+                  f"{' TRUNCATED (cap overflow)' if truncated else ''}",
                   flush=True)
             results.append({"kind": kind, "engine": engine,
                             "seconds": dt, "pairs": pairs,
-                            "pairs_per_sec": rate, **kstats})
+                            "pairs_per_sec": rate,
+                            "truncated": truncated, **kstats})
             gc.collect()
         del tree, lists, pos
         gc.collect()
