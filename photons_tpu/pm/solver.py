@@ -96,6 +96,23 @@ def green_function_traced(n_side: int, boxsize: float, split_radius: float,
 _FFT_SAFE_LEN = 256
 
 
+
+def _twiddle_mul(x, n: int, sign: float):
+    """x * exp(sign * 2j pi k / n) along the last axis, without a complex
+    broadcast: a (k,)-vector COMPLEX twiddle broadcast against a 3-D
+    complex array makes XLA materialize the whole product via
+    broadcast_in_dim with a trailing (re,im) pair -- (8,128)-tiled that
+    pads 64x, a 34 GB copy at 512^3 (measured; it also compiled flakily,
+    program-dependent).  Real cos/sin factors broadcast lane-safely."""
+    h = x.shape[-1]
+    rdt = x.real.dtype
+    ang = (sign * 2.0 * jnp.pi / n) * jnp.arange(h, dtype=rdt)
+    c, si = jnp.cos(ang), jnp.sin(ang)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    from jax import lax as _lax
+    return _lax.complex(c * xr - si * xi, c * xi + si * xr)
+
+
 def _fft1(a, inverse: bool):
     """C2C FFT along the LAST axis via radix-2 splits to safe lengths."""
     return _fft1_impl(a, inverse)
@@ -122,18 +139,15 @@ def _fft1_impl(a, inverse: bool):
     h = n // 2
     if inverse:
         # inverse radix-2: recover half-spectra, then interleave
-        k = jnp.arange(h)
-        w = jnp.exp(2j * jnp.pi * k / n).astype(a.dtype)
         e = 0.5 * (a[..., :h] + a[..., h:])
         ow = 0.5 * (a[..., :h] - a[..., h:])
         xe = _fft1(e, True)
-        xo = _fft1(w * ow, True)
+        xo = _fft1(_twiddle_mul(ow, n, +1.0), True)
         return _interleave_last(xe, xo, n)
     e = _fft1(a[..., 0::2], False)
     o = _fft1(a[..., 1::2], False)
-    k = jnp.arange(h)
-    w = jnp.exp(-2j * jnp.pi * k / n).astype(e.dtype)
-    return jnp.concatenate([e + w * o, e - w * o], -1)
+    wo = _twiddle_mul(o, n, -1.0)
+    return jnp.concatenate([e + wo, e - wo], -1)
 
 
 def _fft_axis(a, axis: int, inverse: bool):
@@ -160,9 +174,7 @@ def _rfft1(a):
                           e[..., :1]], -1)          # (..., h+1)
     oe = jnp.concatenate([o, jnp.conj(o[..., h // 2 - 1:0:-1]),
                           o[..., :1]], -1)
-    m = jnp.arange(h + 1)
-    w = jnp.exp(-2j * jnp.pi * m / n).astype(ee.dtype)
-    return ee + w * oe
+    return ee + _twiddle_mul(oe, n, -1.0)
 
 
 def _irfft1(x, n: int):
@@ -174,10 +186,7 @@ def _irfft1(x, n: int):
     a = x[..., :h]
     b = jnp.concatenate([x[..., h:h + 1], jnp.conj(x[..., h - 1:0:-1])], -1)
     e = 0.5 * (a + b)
-    ow = 0.5 * (a - b)
-    k = jnp.arange(h)
-    w = jnp.exp(2j * jnp.pi * k / n).astype(x.dtype)
-    o = w * ow
+    o = _twiddle_mul(0.5 * (a - b), n, +1.0)
     xe = _irfft1(e[..., :h // 2 + 1], h)
     xo = _irfft1(o[..., :h // 2 + 1], h)
     return _interleave_last(xe, xo, n)

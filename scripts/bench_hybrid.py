@@ -91,7 +91,7 @@ def main():
     # clustered tiers need fatter static caps (measured: strong/extreme
     # overflow the uniform-tier 256/320)
     kind_caps = {"uniform": (256, 320), "mild": (256, 320),
-                 "strong": (512, 512), "extreme": (768, 768)}
+                 "strong": (768, 1024), "extreme": (1024, 1536)}
     for kind in args.kinds.split(","):
         open_cap, p2p_cap = kind_caps.get(kind, (256, args.p2p_cap))
         pos = jnp.asarray(make_state(kind, n_part, L, rng), jnp.float32)
@@ -104,8 +104,8 @@ def main():
             p2p_cap=p2p_cap, quant_bounds=(0.0, L)))
         if bool(lists.overflow):
             print(f"{kind}: traversal overflow at caps "
-                  f"{cfg.open_cap_per_node}/{cfg.p2p_neighbor_cap} -- "
-                  f"recording and skipping", flush=True)
+                  f"{open_cap}/{p2p_cap} -- recording and skipping",
+                  flush=True)
             results.append({"kind": kind, "error": "traversal overflow"})
             continue
         rows = np.asarray((lists.p2p >= 0).sum(axis=1))
