@@ -125,11 +125,15 @@ def _interleave_last(xe, xo, n: int):
     axis whose (8,128) tiling pads 2 -> 128 lanes when XLA materializes
     it as a copy: a 34 GB allocation at 512^3 (measured through the fd4k
     gradient program; the production potential path only survived by
-    fusion luck).  repeat + iota-parity select keeps every intermediate
-    at the full lane width."""
-    k = jnp.arange(n)
-    return jnp.where(k % 2 == 0, jnp.repeat(xe, 2, axis=-1),
-                     jnp.repeat(xo, 2, axis=-1))
+    fusion luck).  ``jnp.repeat(x, 2, -1)`` is NOT a fix -- it lowers to
+    the same broadcast_in_dim + reshape (measured identically).  Interior
+    padding is: lax.pad with interior=1 writes [e0, 0, e1, 0, ...]
+    directly at full lane width, and the sum fills the holes."""
+    zero = jnp.zeros((), xe.dtype)
+    head = [(0, 0, 0)] * (xe.ndim - 1)
+    a = jax.lax.pad(xe, zero, head + [(0, 1, 1)])
+    b = jax.lax.pad(xo, zero, head + [(1, 0, 1)])
+    return a + b
 
 
 def _fft1_impl(a, inverse: bool):
