@@ -116,7 +116,18 @@ def tree_from_sorted(leaf_pos, leaf_mask, perm, mass: float) -> Tree:
     width_leaf = jnp.where(nonempty, pmax - pmin, 0.0)
 
     masses = jnp.where(leaf_mask, mass, 0.0).astype(pos.dtype)
-    m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
+    # chunk the leaf axis: p2m expands (nleaf, S, NMULTI) monomials --
+    # 10.7 GB at 512^3 / S=128 (1M leaves), the build_tree OOM at that
+    # scale.  128K-leaf chunks keep the live temp at ~1.3 GB.
+    _P2M_CHUNK = 1 << 17
+    if n_leaf > _P2M_CHUNK:
+        m_leaf = jnp.concatenate([
+            p2m(leaf_pos[i:i + _P2M_CHUNK]
+                - center_leaf[i:i + _P2M_CHUNK, None, :],
+                masses[i:i + _P2M_CHUNK])
+            for i in range(0, n_leaf, _P2M_CHUNK)])
+    else:
+        m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
 
     centers = [center_leaf]
     widths = [width_leaf]
