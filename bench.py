@@ -22,9 +22,15 @@ round-trip overhead.
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+# run-scoped logs: bench invocations must not clobber the committed
+# artifacts/LOG*.TXT evidence (utils/logging.RunLog honors this env)
+os.environ.setdefault("PHOTONS_LOG_DIR",
+                      tempfile.mkdtemp(prefix="photons_bench_logs_"))
 
 
 def _build_workload(n_side: int, leaf_size: int):

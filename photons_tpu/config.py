@@ -84,6 +84,13 @@ class SimConfig:
     # the f32 differencing cancellation -- pm/solver.gradient_fd4_k);
     # "fd4" is the literal real-space stencil (partmesh.c:1318-1383);
     # "spectral" exact-ik differentiation
+    pm_interlace: bool = False          # interlaced CIC painting: a second
+    # paint at positions shifted +cell/2 per axis, phase-aligned in k and
+    # averaged -- cancels the odd alias images of the CIC window (Hockney
+    # & Eastwood interlacing).  The reference's deconv^4 (conv.f90:224)
+    # corrects the window shape but not aliasing; CIC aliasing is the
+    # measured residual keeping the flagship force error at ~1.2e-3
+    # (scripts/check_pm_chain.py)
     cic_backend: str = "auto"           # CIC paint/readout: "auto" uses the
     # Pallas leaf-brick kernels on TPU (pm/cic_pallas.py) and XLA
     # scatter/gather elsewhere; "xla" / "pallas" force a choice

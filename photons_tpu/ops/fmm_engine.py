@@ -261,97 +261,156 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     from photons_tpu.pm.cic_pallas import (brick_origins, fold_halos,
                                            pad_periodic, paint_leaves,
                                            read_leaves)
-    from photons_tpu.pm.solver import gradient_4th, pm_potential
+    from photons_tpu.pm.solver import gradient_4th
 
     from photons_tpu.pm.cic_pallas import effective_tile
     from photons_tpu.pm.mesh import cic_paint, cic_read_vector
     box = cfg.boxsize
     n_side = cfg.n_side
     tile = effective_tile(n_side, cfg.cic_tile)
-    origins, fits = brick_origins(tree.pos, tree.mask, n_side, tile, box)
-    wts = jnp.where(tree.mask & fits[:, None], 1.0, 0.0).astype(
-        tree.pos.dtype)
-    padded = paint_leaves(tree.pos, wts, origins, n_side, tile, box,
-                          interpret=interpret)
-    counts = fold_halos(padded, n_side)
-
-    # Residual straddler path (NEXT.md round-3 lead): a few leaves' SFC
-    # segments cross major Hilbert transitions, so their CIC footprint
-    # exceeds any practical brick tile.  Instead of a recompile recovery
-    # (tile growth, then cic_backend='xla'), route up to
-    # cfg.cic_straddler_cap such leaves through XLA scatter/gather --
-    # the compacted-residual fallback the kernel docstring assumes
-    # (pm/cic_pallas.py).  Only > cap straddlers still flag cic_overflow.
     k_cap = min(int(cfg.cic_straddler_cap), tree.n_leaf)
-    n_strad = jnp.sum(~fits)
-    if k_cap > 0:
-        sval, sidx = jax.lax.top_k((~fits).astype(jnp.int32), k_cap)
-        gate = sval > 0                                   # (K,)
-        spos = tree.pos[sidx]                             # (K, S, 3)
-        sw = (tree.mask[sidx] & gate[:, None]).reshape(-1).astype(
-            tree.pos.dtype)
-        spos_flat = spos.reshape(-1, 3)
-        counts = jax.lax.cond(
-            n_strad > 0,
-            lambda c: c + cic_paint(spos_flat, box, n_side,
-                                    weights=sw).astype(c.dtype),
-            lambda c: c, counts)
-        fits_all = n_strad <= k_cap
-    else:
-        fits_all = jnp.all(fits)
-    dens = counts * (cfg.particle_mass * (n_side / box) ** 3)
-    # layout firewall: the sliced view of the Pallas output can carry a
-    # non-major layout that the TPU fft thunk misreads (values verified
-    # correct, fft output garbage).  A barriered flatten/reshape forces a
-    # standard-layout materialization before the FFT.
-    dens = jax.lax.optimization_barrier(dens.reshape(-1)).reshape(
-        n_side, n_side, n_side)
+
+    def paint_counts(pos_s):
+        """Pallas leaf-brick paint of (possibly shifted) leaf positions,
+        with the straddler XLA residual.  Returns (counts, fits_ok,
+        (n_strad, sidx, gate, spos)) -- aux drives the readout fix.
+
+        Residual straddler path (NEXT.md round-3 lead): a few leaves' SFC
+        segments cross major Hilbert transitions, so their CIC footprint
+        exceeds any practical brick tile.  Instead of a recompile
+        recovery (tile growth, then cic_backend='xla'), route up to
+        cfg.cic_straddler_cap such leaves through XLA scatter/gather --
+        the compacted-residual fallback the kernel docstring assumes
+        (pm/cic_pallas.py).  Only > cap straddlers still flag
+        cic_overflow."""
+        origins, fits = brick_origins(pos_s, tree.mask, n_side, tile, box)
+        wts = jnp.where(tree.mask & fits[:, None], 1.0, 0.0).astype(
+            pos_s.dtype)
+        padded = paint_leaves(pos_s, wts, origins, n_side, tile, box,
+                              interpret=interpret)
+        counts = fold_halos(padded, n_side)
+        n_strad = jnp.sum(~fits)
+        if k_cap > 0:
+            sval, sidx = jax.lax.top_k((~fits).astype(jnp.int32), k_cap)
+            gate = sval > 0                               # (K,)
+            spos = pos_s[sidx]                            # (K, S, 3)
+            sw = (tree.mask[sidx] & gate[:, None]).reshape(-1).astype(
+                pos_s.dtype)
+            spos_flat = spos.reshape(-1, 3)
+            counts = jax.lax.cond(
+                n_strad > 0,
+                lambda c: c + cic_paint(spos_flat, box, n_side,
+                                        weights=sw).astype(c.dtype),
+                lambda c: c, counts)
+            fits_ok = n_strad <= k_cap
+        else:
+            fits_ok = jnp.all(fits)
+        return counts, fits_ok, fits, origins
+
+    def to_dens_k(counts):
+        dens = counts * (cfg.particle_mass * (n_side / box) ** 3)
+        # layout firewall: the sliced view of the Pallas output can carry
+        # a non-major layout that the TPU fft thunk misreads (values
+        # verified correct, fft output garbage).  A barriered
+        # flatten/reshape forces a standard-layout materialization.
+        dens = jax.lax.optimization_barrier(dens.reshape(-1)).reshape(
+            n_side, n_side, n_side)
+        return rfft3(dens)
+
+    from photons_tpu.pm.solver import (gradient_fd4_k, interlace_phase_mul,
+                                       irfft3, rfft3, spectral_gradient)
+
+    counts, fits_all, fits0, origins = paint_counts(tree.pos)
+    dk = to_dens_k(counts)
+    rdt = dk.real.dtype
+    half = 0.5 * box / n_side
+    if cfg.pm_interlace:
+        # interlaced CIC paint: second paint at +cell/2, aligned in k and
+        # averaged -- cancels odd CIC alias images (the +H/2 positions
+        # stay unwrapped: the mesh's HALO margin covers the spill and
+        # fold_halos wraps it, while the straddler XLA paint wraps by
+        # jnp.mod)
+        counts2, fits2, _, _ = paint_counts(tree.pos + half)
+        dk = 0.5 * (dk + interlace_phase_mul(to_dens_k(counts2), n_side))
+        fits_all = jnp.logical_and(fits_all, fits2)
     if callable(gf):
         gf = gf()
-    if cfg.pm_gradient in ("fd4k", "spectral"):
-        from photons_tpu.pm.solver import (gradient_fd4_k, rfft3,
-                                           spectral_gradient)
-        conv_k = rfft3(dens) * gf.astype(dens.dtype)
-        if cfg.pm_gradient == "fd4k":
-            gfields = gradient_fd4_k(conv_k, box, n_side, dens.dtype)
-        else:
-            g4 = spectral_gradient(conv_k, box, n_side, dens.dtype)
-            gfields = tuple(g4[..., c] for c in range(3))
-        # layout firewall (same reason as the dens barrier above, in the
-        # other direction): fft-thunk outputs can carry a non-major
-        # layout that the Pallas read kernels misread in SOME jit
-        # contexts -- the standalone PM-chain check measured 0.3 rms
-        # garbage while the full engine graph was fine
-        gfields = tuple(
-            jax.lax.optimization_barrier(g.reshape(-1)).reshape(g.shape)
-            for g in gfields)
-    else:
-        phi = pm_potential(dens, gf.astype(dens.dtype))
+    conv_k = dk * gf.astype(rdt)
+
+    def grad_fields(ck):
+        if cfg.pm_gradient in ("fd4k", "spectral"):
+            if cfg.pm_gradient == "fd4k":
+                gfs = gradient_fd4_k(ck, box, n_side, rdt)
+            else:
+                g4 = spectral_gradient(ck, box, n_side, rdt)
+                gfs = tuple(g4[..., c] for c in range(3))
+            # layout firewall (same reason as the dens barrier above, in
+            # the other direction): fft-thunk outputs can carry a
+            # non-major layout that the Pallas read kernels misread in
+            # SOME jit contexts -- the standalone PM-chain check measured
+            # 0.3 rms garbage while the full engine graph was fine
+            return tuple(
+                jax.lax.optimization_barrier(g.reshape(-1)).reshape(g.shape)
+                for g in gfs)
+        phi = irfft3(ck, n_side, rdt)
         grad = gradient_4th(phi, box)
-        gfields = tuple(grad[..., c] for c in range(3))
-    fields = tuple(pad_periodic(g, n_side) for g in gfields)
-    # pass positions in their native dtype: the kernels compute CIC weights
-    # in the input dtype, so paint and readout agree on cell rounding (an
-    # f32 downcast here silently degraded readout coords in f64 runs)
-    vals = read_leaves(tree.pos, fields, origins,
-                       n_side, tile, box, interpret=interpret)
-    acc_pm_leaf = jnp.moveaxis(vals, 1, 2).astype(tree.pos.dtype)
-    if k_cap > 0:
-        # straddler rows read garbage through their clamped brick origin:
-        # overwrite them with an XLA trilinear readout of the same grad
-        # field.  where+set keeps non-straddler rows bit-identical (gate
-        # selects the original row) and, unlike a delta-add, stays robust
-        # if a garbage row ever carries NaN/Inf (ADVICE round 2).
+        return tuple(grad[..., c] for c in range(3))
+
+    def read_at(gfields, pos_r, origins_r, fits_r):
+        """One Pallas readout pass + the straddler XLA overwrite.
+
+        Straddler rows (``~fits_r``) read garbage through their clamped
+        brick origin: overwrite them with an XLA trilinear readout of
+        the same grad field.  where+set keeps non-straddler rows
+        bit-identical (gate selects the original row) and, unlike a
+        delta-add, stays robust if a garbage row ever carries NaN/Inf
+        (ADVICE round 2).  Returns (acc_leaf, ok) with ok False when
+        more than k_cap leaves straddle."""
+        fields = tuple(pad_periodic(g, n_side) for g in gfields)
+        # pass positions in their native dtype: the kernels compute CIC
+        # weights in the input dtype, so paint and readout agree on cell
+        # rounding (an f32 downcast here silently degraded readout
+        # coords in f64 runs)
+        vals = read_leaves(pos_r, fields, origins_r,
+                           n_side, tile, box, interpret=interpret)
+        acc_leaf0 = jnp.moveaxis(vals, 1, 2).astype(tree.pos.dtype)
+        n_strad_r = jnp.sum(~fits_r)
+        if k_cap == 0:
+            return acc_leaf0, jnp.all(fits_r)
+        sval_r, sidx_r = jax.lax.top_k((~fits_r).astype(jnp.int32), k_cap)
+        gate_r = sval_r > 0
+        spos_r = pos_r[sidx_r]
+
         def _fix(acc_leaf):
             svals = jnp.concatenate(
-                [cic_read_vector(g[..., None], spos.reshape(-1, 3), box,
+                [cic_read_vector(g[..., None], spos_r.reshape(-1, 3), box,
                                  n_side) for g in gfields],
                 axis=-1).reshape(k_cap, -1, 3)
-            new = jnp.where(gate[:, None, None],
-                            svals.astype(acc_leaf.dtype), acc_leaf[sidx])
-            return acc_leaf.at[sidx].set(new)
-        acc_pm_leaf = jax.lax.cond(n_strad > 0, _fix,
-                                   lambda a: a, acc_pm_leaf)
+            new = jnp.where(gate_r[:, None, None],
+                            svals.astype(acc_leaf.dtype), acc_leaf[sidx_r])
+            return acc_leaf.at[sidx_r].set(new)
+        acc_leaf = jax.lax.cond(n_strad_r > 0, _fix, lambda a: a, acc_leaf0)
+        return acc_leaf, n_strad_r <= k_cap
+
+    # readout straddler set = the unshifted paint's (identical origins)
+    acc_pm_leaf, _ok0 = read_at(grad_fields(conv_k), tree.pos, origins,
+                                fits0)
+    if cfg.pm_interlace:
+        # interlaced readout: the same force spectrum sampled on the
+        # +H/2-shifted grid, read in that grid's frame (pos - H/2) and
+        # averaged -- cancels the READOUT window's odd alias images,
+        # which dominate once the paint is interlaced (pm_accel notes:
+        # 2.19e-3 plain / 1.86e-3 paint-only / 8.4e-4 full on the 32^3
+        # ladder).  Shifted-read footprints can move by one cell, so
+        # they get their own brick origins AND their own straddler set
+        # (a leaf may fit unshifted but straddle shifted).
+        pos_shift = tree.pos - half
+        origins2, fits_r2 = brick_origins(pos_shift, tree.mask, n_side,
+                                          tile, box)
+        acc2, ok2 = read_at(grad_fields(interlace_phase_mul(conv_k, n_side)),
+                            pos_shift, origins2, fits_r2)
+        acc_pm_leaf = 0.5 * (acc_pm_leaf + acc2)
+        fits_all = jnp.logical_and(fits_all, ok2)
     return acc_pm_leaf, fits_all
 
 

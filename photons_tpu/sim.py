@@ -85,7 +85,8 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
                 cfg.n_side, cfg.boxsize, cfg.split_radius,
                 deconvolve=not cfg.pm_only, dtype=dtype)
             return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
-                            n_side=cfg.n_side)
+                            n_side=cfg.n_side,
+                            interlace=cfg.pm_interlace and not cfg.pm_only)
     else:
         # without the Ewald split the tree computes the FULL Newtonian
         # force; adding a PM solve would double-count gravity (and impose
@@ -911,7 +912,7 @@ class Simulation:
                 pos, green_function_traced(cfg.n_side, cfg.boxsize,
                                            cfg.split_radius, dtype=dtype),
                 mass=cfg.particle_mass, boxsize=cfg.boxsize,
-                n_side=cfg.n_side))
+                n_side=cfg.n_side, interlace=cfg.pm_interlace))
         else:
             pm = jax.jit(jnp.zeros_like)
 

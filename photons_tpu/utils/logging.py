@@ -18,7 +18,15 @@ _COLUMNS = (
 
 
 class RunLog:
+    """``PHOTONS_LOG_DIR`` (env), when set, overrides ``output_path``:
+    test suites, bench.py and driver entry points point it at a
+    run-scoped directory so incidental demo-config runs stop clobbering
+    the committed ``artifacts/LOG*.TXT`` evidence (the reference's
+    one-log-per-run-name rule, utility.c:35-48, applied to every
+    invocation rather than only production runs)."""
+
     def __init__(self, output_path: str, code_proj: str, echo: bool = False):
+        output_path = os.environ.get("PHOTONS_LOG_DIR", output_path)
         os.makedirs(output_path, exist_ok=True)
         self.path = os.path.join(output_path, f"LOG{code_proj}.TXT")
         self.echo = echo

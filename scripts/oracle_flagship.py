@@ -163,6 +163,10 @@ def main():
     ap.add_argument("--compare-dense", action="store_true",
                     help="cross-check against ops/direct.ewald_forces "
                          "(small n only)")
+    ap.add_argument("--interlace", action="store_true",
+                    help="full interlaced CIC (paint + readout; "
+                         "cfg.pm_interlace) -- the round-5 PM aliasing "
+                         "lever")
     ap.add_argument("--exact-mac", action="store_true",
                     help="engine A/B: disable quantized MAC + tapered caps")
     ap.add_argument("--dtype", default="float32",
@@ -207,7 +211,8 @@ def main():
     cfg = cfg.replace(
         split_scale=args.rs_cells * cfg.boxsize / n_side,
         open_cap_levels=None if args.exact_mac else levels,
-        traversal_quantized=not args.exact_mac)
+        traversal_quantized=not args.exact_mac,
+        pm_interlace=args.interlace)
     L = cfg.boxsize
 
     a_tag = args.a

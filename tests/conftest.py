@@ -7,6 +7,12 @@ plugin regardless of JAX_PLATFORMS, so we override via jax.config *after*
 import -- env vars alone are not enough here."""
 
 import os
+import tempfile
+
+# run-scoped log dir: demo-config sims inside tests must not clobber the
+# committed artifacts/LOG*.TXT evidence (VERDICT r3 weak-6)
+os.environ.setdefault("PHOTONS_LOG_DIR",
+                      tempfile.mkdtemp(prefix="photons_test_logs_"))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -163,6 +163,52 @@ def test_mixed_straddler_residual_path_matches_xla():
                                rtol=0, atol=1e-6)
 
 
+def test_engine_interlaced_pm_matches_xla():
+    """cfg.pm_interlace through the tree-shared Pallas path (pm_from_tree:
+    two paints + two readouts with independent brick origins/straddler
+    sets) must match the XLA pm_accel interlaced chain."""
+    from photons_tpu.ops.fmm_engine import fmm_forces
+    from photons_tpu.pm.solver import pm_accel
+
+    rng = np.random.default_rng(7)
+    cfg = SimConfig(boxsize=L, n_side=16, n_part_total=2048, dtype="float32",
+                    leaf_size=16, cic_backend="pallas", pm_interlace=True)
+    pos = jnp.asarray(rng.uniform(0, L, (2048, 3)), jnp.float32)
+    gf = green_function(16, L, cfg.split_radius, dtype=jnp.float32)
+    (acc_p, pm_p), diag = jax.jit(
+        lambda p: fmm_forces(p, cfg, pm_gf=gf))(pos)
+    assert not bool(diag["cic_overflow"])
+    ref = pm_accel(pos, gf, mass=cfg.particle_mass, boxsize=L, n_side=16,
+                   gradient=cfg.pm_gradient, interlace=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(pm_p), np.asarray(ref),
+                               rtol=0, atol=3e-5 * max(scale, 1e-9))
+
+
+def test_engine_interlaced_straddler_residual():
+    """Interlaced PM with straddler leaves: the shifted paint/readout get
+    their OWN straddler sets (a leaf can fit unshifted but straddle
+    shifted); the residual path must keep parity with the XLA chain."""
+    from photons_tpu.ops.fmm_engine import fmm_forces
+    from photons_tpu.pm.solver import pm_accel
+
+    rng = np.random.default_rng(5)
+    # all leaves straddle (footprint >> tile): the whole PM -- both
+    # interlace passes -- rides the XLA residual path
+    cfg = SimConfig(boxsize=L, n_side=64, n_part_total=2048, dtype="float32",
+                    leaf_size=256, cic_backend="pallas", cic_tile=8,
+                    cic_straddler_cap=8, pm_interlace=True)
+    pos = jnp.asarray(rng.uniform(0, L, (2048, 3)), jnp.float32)
+    gf = green_function(64, L, cfg.split_radius, dtype=jnp.float32)
+    (_, pm_p), diag = jax.jit(lambda p: fmm_forces(p, cfg, pm_gf=gf))(pos)
+    assert not bool(diag["cic_overflow"])
+    ref = pm_accel(pos, gf, mass=cfg.particle_mass, boxsize=L, n_side=64,
+                   gradient=cfg.pm_gradient, interlace=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(pm_p), np.asarray(ref),
+                               rtol=0, atol=3e-5 * max(scale, 1e-9))
+
+
 def test_brick_overflow_flagged():
     """A too-small tile must flag, not silently drop mass."""
     rng = np.random.default_rng(4)

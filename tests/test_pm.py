@@ -103,6 +103,40 @@ def test_pm_error_converges_with_resolution():
     assert errs[1] < 2.5e-3
 
 
+def test_pm_interlace_cuts_aliasing():
+    """Full interlaced CIC (paint + readout, cfg.pm_interlace): the odd
+    alias images of BOTH windows cancel, cutting the PM error well below
+    the plain chain at the same rs = 1.25 cells.  Measured on this
+    realization: 2.19e-3 -> 8.4e-4 relative rms (the paint-only variant
+    saturates at 1.86e-3 -- the readout window dominates once the paint
+    is clean, so pm_accel interlaces both sides)."""
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, L, (128, 3))
+    m, eps = 1.0, 1e-3
+    acc_total = ewald_forces(pos, m, L, RS, eps, n_images=2, k_max=24)
+    acc_short = np.asarray(direct_forces(
+        jnp.asarray(pos), mass=m, eps=eps, split_radius=RS, boxsize=L,
+        n_images=2))
+    acc_long = acc_total - acc_short
+    rms = np.sqrt((acc_total**2).sum(-1).mean())
+    gf = green_function(NSIDE, L, RS, dtype=jnp.float64)
+
+    errs = {}
+    for il in (False, True):
+        acc_pm = np.asarray(pm_accel(jnp.asarray(pos), gf, mass=m,
+                                     boxsize=L, n_side=NSIDE, interlace=il))
+        errs[il] = np.sqrt((((acc_pm - acc_long)**2).sum(-1)).mean()) / rms
+    assert errs[True] < 0.5 * errs[False]
+    assert errs[True] < 1.1e-3
+
+    # momentum conservation survives interlacing (paint/readout windows
+    # stay identical, so the pairwise force matrix stays antisymmetric)
+    acc_pm = pm_accel(jnp.asarray(pos), gf, mass=m, boxsize=L,
+                      n_side=NSIDE, interlace=True)
+    arms = float(jnp.sqrt((acc_pm**2).sum(-1)).mean())
+    assert np.abs(np.asarray(acc_pm.sum(0))).max() < 1e-10 * arms * 128
+
+
 def test_total_force_split_independence_pm():
     """FMM-side oracle + PM must be (nearly) independent of split_radius --
     SURVEY.md section 4 test 4, with direct sum standing in for the tree."""
