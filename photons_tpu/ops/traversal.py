@@ -199,7 +199,7 @@ def expand_open_caps(schedule, depth: int, open_cap: int):
     return tuple(caps)
 
 
-def _row_compact(vals, mask, cap: int):
+def _row_compact(vals, mask, cap: int, offset: int = 0):
     """Pack masked entries of each row to the front, truncated at ``cap``.
 
     vals/mask (R, K) -> packed (R, cap) with -1 padding, total count,
@@ -208,20 +208,28 @@ def _row_compact(vals, mask, cap: int):
     Invalid slots sort to the tail as INT32_MAX; within a row the kept
     entries come out ascending (their order is irrelevant: every
     consumer sums over the row).
+
+    ``offset``: emit the row SEGMENT [offset, offset+cap) of the sorted
+    survivors instead of the head -- the space-slice analogue of the
+    reference's LEN_TASK task-buffer flushing (2_Redundant/src/
+    fmm.c:921,377-418): rows wider than any affordable static cap are
+    processed in fixed-size passes, each pass bounded to (R, cap).  The
+    overflow flag then means "entries remain beyond this segment", i.e.
+    another pass is needed, not an error.
     """
     big = jnp.iinfo(jnp.int32).max
     keyed = jnp.where(mask, vals.astype(jnp.int32), big)
-    packed = lax.sort(keyed, dimension=1)[:, :cap]
+    packed = lax.sort(keyed, dimension=1)[:, offset:offset + cap]
     packed = jnp.where(packed == big, -1, packed)
     counts = jnp.sum(mask, axis=1)
     return (packed, jnp.sum(counts).astype(jnp.int32),
-            jnp.any(counts > cap))
+            jnp.any(counts > offset + cap))
 
 
 @partial(jax.jit, static_argnames=("theta", "cutoff", "boxsize",
                                    "open_cap", "m2l_cap", "p2p_cap",
                                    "adjacency_eps", "open_caps",
-                                   "quant_bounds"))
+                                   "quant_bounds", "p2p_segment"))
 def dual_tree_traversal(tree: Tree, theta: float,
                         cutoff: Optional[float] = None,
                         boxsize: Optional[float] = None,
@@ -230,6 +238,7 @@ def dual_tree_traversal(tree: Tree, theta: float,
                         adjacency_eps: float = 1e-4,
                         open_caps: Optional[Tuple[int, ...]] = None,
                         quant_bounds: Optional[Tuple[float, float]] = None,
+                        p2p_segment: int = 0,
                         ) -> InteractionLists:
     """Build per-node M2L tables (per level) and the per-leaf P2P table.
 
@@ -237,14 +246,17 @@ def dual_tree_traversal(tree: Tree, theta: float,
     open_caps optionally overrides open_cap per level (see
     :func:`taper_open_caps`); quant_bounds (lo, hi) switches the MAC
     geometry to the packed u16 fixed-point source gathers
-    (:func:`pack_node_geometry`).
+    (:func:`pack_node_geometry`); p2p_segment selects the s-th
+    p2p_cap-wide slice of each leaf's neighbor row for bounded-memory
+    multi-pass processing of extreme clustering (see _row_compact).
     """
     return dual_tree_traversal_pair(
         tree.centers, tree.widths, tree.counts,
         tree.centers, tree.widths, tree.counts,
         theta=theta, cutoff=cutoff, boxsize=boxsize, open_cap=open_cap,
         m2l_cap=m2l_cap, p2p_cap=p2p_cap, adjacency_eps=adjacency_eps,
-        open_caps=open_caps, quant_bounds=quant_bounds)
+        open_caps=open_caps, quant_bounds=quant_bounds,
+        p2p_segment=p2p_segment)
 
 
 def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
@@ -259,7 +271,8 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
                              source_zone=None,
                              open_caps: Optional[Tuple[int, ...]] = None,
                              quant_bounds: Optional[Tuple[float, float]]
-                             = None) -> InteractionLists:
+                             = None,
+                             p2p_segment: int = 0) -> InteractionLists:
     """Two-tree traversal: targets from tree T, sources from tree S (same
     balanced layout).  For S == T this is the local walk; with S = a remote
     shard's gathered tree metadata it is the cross-shard far-field pass
@@ -391,7 +404,13 @@ def dual_tree_traversal_pair(centers_t, widths_t, counts_t,
 
         oc = open_cap if open_caps is None else open_caps[d]
         cap_open = min(kcand, p2p_cap if last else oc)
-        open_src, o_cnt, ovf = _row_compact(cand, flags == 0, cap_open)
+        # p2p_segment > 0: emit the s-th p2p_cap-wide SEGMENT of each
+        # leaf row (bounded-memory multi-pass over extreme neighbor
+        # counts; see _row_compact).  Internal frontiers are unaffected
+        # -- only the emitted leaf table is sliced.
+        off = p2p_cap * p2p_segment if last else 0
+        open_src, o_cnt, ovf = _row_compact(cand, flags == 0, cap_open,
+                                            offset=off)
         if not (last and leaf_unresolved == "m2l"):
             overflow |= ovf
             overflow_bits |= jnp.where(ovf, OVF_P2P if last else OVF_OPEN, 0)

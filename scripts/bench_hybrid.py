@@ -89,26 +89,50 @@ def main():
     results = []
 
     # clustered tiers need fatter static caps (measured: strong/extreme
-    # overflow the uniform-tier 256/320)
+    # overflow the uniform-tier 256/320).  'extreme' (>1536 rows/leaf)
+    # exceeds ANY affordable single-pass table: it runs the segmented
+    # multi-pass instead (dual_tree_traversal p2p_segment -- the
+    # reference's LEN_TASK flush loop as a space-slice,
+    # 2_Redundant/src/fmm.c:921,377-418), bounded to (nleaf, 512)/pass.
     kind_caps = {"uniform": (256, 320), "mild": (256, 320),
-                 "strong": (768, 1024), "extreme": (1024, 1536)}
+                 "strong": (768, 1024), "extreme": (2048, 512)}
+    from photons_tpu.ops.traversal import OVF_M2L, OVF_OPEN, OVF_P2P
     for kind in args.kinds.split(","):
         open_cap, p2p_cap = kind_caps.get(kind, (256, args.p2p_cap))
         pos = jnp.asarray(make_state(kind, n_part, L, rng), jnp.float32)
         tree = jax.block_until_ready(build_tree(
             pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
             lo=0.0, hi=L))
-        lists = jax.block_until_ready(dual_tree_traversal(
-            tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=L,
-            open_cap=open_cap, m2l_cap=cfg.m2l_cap_per_node,
-            p2p_cap=p2p_cap, quant_bounds=(0.0, L)))
-        if bool(lists.overflow):
-            print(f"{kind}: traversal overflow at caps "
-                  f"{open_cap}/{p2p_cap} -- recording and skipping",
+
+        def traverse(segment=0):
+            return dual_tree_traversal(
+                tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=L,
+                open_cap=open_cap, m2l_cap=cfg.m2l_cap_per_node,
+                p2p_cap=p2p_cap, quant_bounds=(0.0, L),
+                p2p_segment=segment)
+
+        lists = jax.block_until_ready(traverse())
+        bits = int(lists.overflow_bits)
+        if bits & (OVF_OPEN | OVF_M2L):
+            # internal frontier/m2l truncation: results would be
+            # INCOMPLETE at any segment -- a real capacity error
+            print(f"{kind}: internal traversal overflow (bits={bits}) at "
+                  f"caps {open_cap}/{p2p_cap} -- recording and skipping",
                   flush=True)
-            results.append({"kind": kind, "error": "traversal overflow"})
+            results.append({"kind": kind, "error": "traversal overflow",
+                            "overflow_bits": bits})
             continue
-        rows = np.asarray((lists.p2p >= 0).sum(axis=1))
+        segments = [lists]
+        while bool(segments[-1].overflow):
+            # leaf rows wider than p2p_cap: collect the next space-slice
+            segments.append(jax.block_until_ready(
+                traverse(segment=len(segments))))
+        n_seg = len(segments)
+        if n_seg > 1:
+            print(f"{kind}: segmented multi-pass, {n_seg} passes at "
+                  f"p2p_cap {p2p_cap}", flush=True)
+        rows = sum(np.asarray((ls.p2p >= 0).sum(axis=1))
+                   for ls in segments)
         pairs = int(rows.sum()) * cfg.leaf_size ** 2
         kstats = {"k_mean": float(rows.mean()),
                   "k_p99": float(np.percentile(rows, 99)),
@@ -119,15 +143,24 @@ def main():
               f" p99={kstats['k_p99']:.0f} max={kstats['k_max']}"
               f" frac>thr={kstats['frac_over_threshold']:.3f}", flush=True)
 
+        # multi-pass cost accounting: each extra segment pays a re-walk
+        # of the traversal (the space-slice price); measure it once
+        seg_walk = 0.0
+        if n_seg > 1:
+            t0 = time.perf_counter()
+            for s in range(1, n_seg):
+                jax.block_until_ready(traverse(segment=s))
+            seg_walk = time.perf_counter() - t0
+
         for engine in args.engines.split(","):
-            def run_once():
+            def run_once(ls):
                 if engine == "hybrid":
                     acc, ovf = p2p_hybrid(
-                        tree, lists, cfg.particle_mass, cfg.soften_scale,
+                        tree, ls, cfg.particle_mass, cfg.soften_scale,
                         rs, L, k_threshold=args.threshold, cutoff=cutoff)
                 else:
                     acc, ovf = p2p_pallas(
-                        tree, lists, cfg.particle_mass, cfg.soften_scale,
+                        tree, ls, cfg.particle_mass, cfg.soften_scale,
                         rs, L, layout=engine,
                         neighbor_cap=args.redundant_cap
                         if engine == "redundant" else None,
@@ -135,11 +168,12 @@ def main():
                 return acc, ovf
             f = jax.jit(run_once)
             try:
-                out, ovf = jax.block_until_ready(f())   # compile + warm
-                truncated = bool(np.asarray(ovf))
+                outs = [jax.block_until_ready(f(ls)) for ls in segments]
+                truncated = any(bool(np.asarray(o[1])) for o in outs)
                 t0 = time.perf_counter()
                 for _ in range(args.steps):
-                    out, ovf = f()
+                    for ls in segments:
+                        out, ovf = f(ls)
                 float(jnp.sum(out[0, 0]))               # chained fence
                 dt = (time.perf_counter() - t0) / args.steps
             except Exception as e:
@@ -150,15 +184,19 @@ def main():
                 gc.collect()
                 continue
             rate = pairs / dt
-            print(f"{kind}/{engine}: {dt*1e3:.1f} ms, {rate:.3e} pairs/s"
+            print(f"{kind}/{engine}: {dt*1e3:.1f} ms kernel"
+                  f" (+{seg_walk*1e3:.0f} ms walk/step for {n_seg} passes),"
+                  f" {rate:.3e} pairs/s"
                   f"{' TRUNCATED (cap overflow)' if truncated else ''}",
                   flush=True)
             results.append({"kind": kind, "engine": engine,
                             "seconds": dt, "pairs": pairs,
                             "pairs_per_sec": rate,
+                            "n_passes": n_seg,
+                            "seg_walk_seconds": seg_walk,
                             "truncated": truncated, **kstats})
             gc.collect()
-        del tree, lists, pos
+        del tree, lists, segments, pos
         gc.collect()
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -137,13 +137,16 @@ def main():
     ap.add_argument("--leaf-size", type=int, default=128)
     ap.add_argument("--rs-oracle", type=float, default=0.0,
                     help="oracle split radius (kpc/h); 0 = L/40")
-    ap.add_argument("--open-cap", type=int, default=128)
+    ap.add_argument("--open-cap", type=int, default=192)
     ap.add_argument("--p2p-cap", type=int, default=192)
-    ap.add_argument("--open-cap-levels", default="96,64,48",
-                    help="'' = uniform open cap.  Uniform-RANDOM states "
-                         "need fatter caps than the production Zel'dovich "
-                         "lattice (Poisson density tails: n_p2p 5.6M vs "
-                         "3.3M at 256^3)")
+    ap.add_argument("--open-cap-levels", default="160,96,96",
+                    help="'' = uniform open cap.  Default = the shipped "
+                         "production schedule (run_pk_parity): uniform-"
+                         "RANDOM states need fatter caps than the "
+                         "Zel'dovich lattice (Poisson density tails: "
+                         "n_p2p 5.6M vs 3.3M at 256^3), and the old "
+                         "96,64,48 default silently truncated the "
+                         "uniform state's frontier (overflow=1)")
     ap.add_argument("--snapshot", default=None,
                     help="Gadget snapshot to load positions from (late-time "
                          "clustered check) instead of the Zel'dovich IC")
@@ -296,7 +299,10 @@ def main():
         "source": (args.snapshot or
                    ("uniform" if args.uniform_ic else "zeldovich-ic")),
         "quantized_mac": not args.exact_mac,
-        "open_cap_levels": None if args.exact_mac else [96, 64, 48],
+        "interlace": args.interlace,
+        "open_cap": args.open_cap, "p2p_cap": args.p2p_cap,
+        "open_cap_levels": (None if args.exact_mac or levels is None
+                            else list(levels)),
         "err_total_rms": err, "err_total_max": err_max,
         "force_rms": rms,
         "n_p2p": int(diag["n_p2p"]), "n_m2l": int(diag["n_m2l"]),

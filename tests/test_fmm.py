@@ -84,6 +84,42 @@ def test_traversal_covers_every_leaf_pair_exactly_once():
     assert (cover[~ok] == 0).all()
 
 
+def test_traversal_segmented_multipass_matches_single_pass():
+    """Bounded-memory multi-pass (p2p_segment, the reference's LEN_TASK
+    flush loop as a space-slice, 2_Redundant/src/fmm.c:921,377-418):
+    leaf rows wider than p2p_cap are emitted over several disjoint
+    passes whose union must equal the roomy single-pass table."""
+    # a clustered blob: every blob leaf neighbors every other blob leaf
+    rng = np.random.default_rng(9)
+    blob = 0.5 * L + rng.normal(0.0, 0.02 * L, (1536, 3))
+    bg = rng.uniform(0, L, (512, 3))
+    pos = jnp.asarray(np.concatenate([blob, bg]) % L)
+    t = build_tree(pos, mass=1.0, leaf_size=16, lo=0.0, hi=L)
+    kw = dict(theta=0.4, cutoff=20.0, boxsize=L, open_cap=512, m2l_cap=64)
+
+    roomy = dual_tree_traversal(t, p2p_cap=512, **kw)
+    assert not bool(roomy.overflow), "regime drifted: needs wider caps"
+    k_max = int(np.asarray((roomy.p2p >= 0).sum(axis=1)).max())
+    cap = 32
+    assert k_max > 2 * cap, f"regime drifted: k_max={k_max} too small"
+
+    seg_tables = []
+    s = 0
+    while True:
+        ls = dual_tree_traversal(t, p2p_cap=cap, p2p_segment=s, **kw)
+        seg_tables.append(np.asarray(ls.p2p))
+        if not bool(ls.overflow):
+            break
+        s += 1
+    assert len(seg_tables) >= 3                  # genuinely multi-pass
+
+    ref = np.asarray(roomy.p2p)
+    for row in range(t.n_leaf):
+        want = sorted(x for x in ref[row] if x >= 0)
+        got = sorted(x for tbl in seg_tables for x in tbl[row] if x >= 0)
+        assert got == want, f"row {row}: union of segments != single pass"
+
+
 def test_traversal_quantized_and_tapered_caps_match_exact():
     """The packed u16 fixed-point MAC (quant_bounds) and the leaf-anchored
     open-cap schedule must reproduce the exact traversal's pair sets: the
