@@ -84,13 +84,22 @@ class SimConfig:
     # the f32 differencing cancellation -- pm/solver.gradient_fd4_k);
     # "fd4" is the literal real-space stencil (partmesh.c:1318-1383);
     # "spectral" exact-ik differentiation
-    pm_interlace: bool = False          # interlaced CIC painting: a second
-    # paint at positions shifted +cell/2 per axis, phase-aligned in k and
-    # averaged -- cancels the odd alias images of the CIC window (Hockney
-    # & Eastwood interlacing).  The reference's deconv^4 (conv.f90:224)
-    # corrects the window shape but not aliasing; CIC aliasing is the
-    # measured residual keeping the flagship force error at ~1.2e-3
-    # (scripts/check_pm_chain.py)
+    pm_interlace: str = "off"           # interlaced CIC ("off"/"read"/
+    # "full"; bools accepted: True == "full").  "full" adds a second
+    # half-cell-shifted paint AND readout, phase-aligned in k and
+    # averaged -- the classic odd-alias-image cancellation (Hockney &
+    # Eastwood) the reference's deconv^4 (conv.f90:224) cannot provide.
+    # MEASURED caveat: "full" helps stochastic states (uniform-random
+    # 2.19e-3 -> 8.4e-4 on the 32^3 rs=1.25c ladder) but HURTS
+    # displaced-lattice states (Zel'dovich-type, mesh = 2x particle
+    # grid: 2.3e-3 -> 6.6e-3; flagship 256^3 measured 2.19e-3 ->
+    # 7.0e-3): the +H/2 shift parks every lattice particle exactly on
+    # the shifted grid's CIC kink, so the paint's displacement response
+    # is one-sided.  "read" interlaces only the readout (no kink
+    # pathology; helps both states mildly: lattice 2.34 -> 1.81e-3,
+    # uniform 2.19 -> 1.96e-3).  The production accuracy lever is
+    # rs = 2.0 mesh cells instead (measured 8.44e-4 at the 256^3
+    # flagship, artifacts/split_geometry256_r5.json)
     cic_backend: str = "auto"           # CIC paint/readout: "auto" uses the
     # Pallas leaf-brick kernels on TPU (pm/cic_pallas.py) and XLA
     # scatter/gather elsewhere; "xla" / "pallas" force a choice

@@ -317,19 +317,23 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
             n_side, n_side, n_side)
         return rfft3(dens)
 
-    from photons_tpu.pm.solver import (gradient_fd4_k, interlace_phase_mul,
-                                       irfft3, rfft3, spectral_gradient)
+    from photons_tpu.pm.solver import (gradient_fd4_k, interlace_mode,
+                                       interlace_phase_mul, irfft3, rfft3,
+                                       spectral_gradient)
 
+    il_mode = interlace_mode(cfg.pm_interlace)
     counts, fits_all, fits0, origins = paint_counts(tree.pos)
     dk = to_dens_k(counts)
     rdt = dk.real.dtype
     half = 0.5 * box / n_side
-    if cfg.pm_interlace:
+    if il_mode == "full":
         # interlaced CIC paint: second paint at +cell/2, aligned in k and
         # averaged -- cancels odd CIC alias images (the +H/2 positions
         # stay unwrapped: the mesh's HALO margin covers the spill and
         # fold_halos wraps it, while the straddler XLA paint wraps by
-        # jnp.mod)
+        # jnp.mod).  NOT part of "read" mode: the shifted paint parks
+        # displaced-lattice states on the CIC kink and regresses their
+        # force error 3x (config.pm_interlace)
         counts2, fits2, _, _ = paint_counts(tree.pos + half)
         dk = 0.5 * (dk + interlace_phase_mul(to_dens_k(counts2), n_side))
         fits_all = jnp.logical_and(fits_all, fits2)
@@ -395,7 +399,7 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
     # readout straddler set = the unshifted paint's (identical origins)
     acc_pm_leaf, _ok0 = read_at(grad_fields(conv_k), tree.pos, origins,
                                 fits0)
-    if cfg.pm_interlace:
+    if il_mode in ("read", "full"):
         # interlaced readout: the same force spectrum sampled on the
         # +H/2-shifted grid, read in that grid's frame (pos - H/2) and
         # averaged -- cancels the READOUT window's odd alias images,

@@ -215,6 +215,17 @@ def irfft3(xk, n: int, dtype):
     return _irfft1(xk, n).astype(dtype)
 
 
+def interlace_mode(interlace) -> str:
+    """Normalize an interlace knob to 'off' / 'read' / 'full'.
+
+    Accepts the config string or a legacy bool (True == 'full')."""
+    if interlace is True:
+        return "full"
+    if interlace in ("read", "full"):
+        return str(interlace)
+    return "off"
+
+
 def interlace_phase_mul(xk, n_side: int):
     """Align the half-cell-shifted paint's spectrum with the unshifted one.
 
@@ -347,16 +358,19 @@ def pm_accel(pos, gf, mass: float, boxsize: float, n_side: int,
     exact-ik 'spectral' differentiation, and costs 12 rolls instead of 3
     extra inverse FFTs.  'fd4k' evaluates the same stencil in k-space.
 
-    ``interlace``: FULL interlacing -- a second half-cell-shifted paint,
-    phase-aligned and averaged in k (cancels the odd alias images of the
-    paint window), AND a second readout of the same force spectrum
-    evaluated on the half-shifted grid (cancels the readout window's odd
-    images).  Paint-only interlacing saturates: measured on the 32^3
-    ladder (rs = 1.25 cells) plain 2.19e-3 / paint-only 1.86e-3 /
-    full 8.4e-4 relative force rms -- the readout side dominates once
-    the paint is clean, because deconv^4 (conv.f90:224) boosts the
-    near-Nyquist band on BOTH window corrections.
+    ``interlace``: "off" (default), "read", or "full" (bools accepted:
+    True == "full").  "full" = a second half-cell-shifted paint,
+    phase-aligned and averaged in k, AND a second readout of the force
+    spectrum evaluated on the half-shifted grid -- the classic odd
+    alias-image cancellation.  Measured on the 32^3 rs=1.25c ladder:
+    plain 2.19e-3 / full 8.4e-4 on uniform-random states, but full
+    REGRESSES displaced-lattice states 2.3e-3 -> 6.6e-3 (the +H/2
+    shift parks lattice particles on the shifted grid's CIC kink; see
+    config.pm_interlace).  "read" interlaces only the readout side --
+    no kink pathology, a mild win on every state.
     """
+    mode = interlace_mode(interlace)
+
     def grad_of(conv_k):
         if gradient == "spectral":
             return spectral_gradient(conv_k, boxsize, n_side, pos.dtype)
@@ -369,12 +383,12 @@ def pm_accel(pos, gf, mass: float, boxsize: float, n_side: int,
     norm = mass * (n_side / boxsize) ** 3
     dk = rfft3(cic_paint(pos, boxsize, n_side) * norm)
     shift = 0.5 * boxsize / n_side
-    if interlace:
+    if mode == "full":
         dk2 = rfft3(cic_paint(pos + shift, boxsize, n_side) * norm)
         dk = 0.5 * (dk + interlace_phase_mul(dk2, n_side))
     conv_k = dk * gf.astype(dk.real.dtype)
     acc = cic_read_vector(grad_of(conv_k), pos, boxsize, n_side)
-    if interlace:
+    if mode in ("read", "full"):
         # the same force spectrum sampled on the +H/2-shifted grid; in
         # that grid's frame the particle coordinate is pos - H/2
         acc2 = cic_read_vector(grad_of(interlace_phase_mul(conv_k, n_side)),

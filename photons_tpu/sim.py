@@ -86,7 +86,8 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
                 deconvolve=not cfg.pm_only, dtype=dtype)
             return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
                             n_side=cfg.n_side,
-                            interlace=cfg.pm_interlace and not cfg.pm_only)
+                            interlace="off" if cfg.pm_only
+                            else cfg.pm_interlace)
     else:
         # without the Ewald split the tree computes the FULL Newtonian
         # force; adding a PM solve would double-count gravity (and impose
@@ -429,6 +430,7 @@ class Simulation:
         self._force_jit = jax.jit(self._force_fn)
         self._block_fns = None              # built lazily (adaptive="block")
         self._block_fast = None             # sorted fused block substeps
+        self._ladder_cache = {}             # one-jit macro ladders, by nf
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -1026,11 +1028,109 @@ class Simulation:
             lv = jnp.ceil(jnp.log2(jnp.maximum(tau / dt_req, 1.0)))
             return jnp.clip(lv, 0, max_level).astype(jnp.int32)
 
+        def make_ladder(nf: int, max_level: int, has_ids: bool):
+            """ONE-JIT substep ladder (VERDICT r3 next-5 / BENCH_NOTES
+            lead): the whole 2^k-substep macro as a single device
+            program.  The round-4 host loop dispatched kick/force/close
+            separately per substep, costing ~1 s/substep through the
+            axon tunnel even at level 0 (10.6 s/macro at 64^3 where the
+            fused fixed step is 0.93 s).  Freezing nf per macro (the
+            level census is read once, on the macro open) lets substep 0
+            (rebuild + permute), the middle reuse substeps (lax.fori_loop)
+            and the PM-closing final substep compile into one executable
+            -- one dispatch per macro, one compile per distinct nf.
+
+            Gating stays per-particle exactly as the reference's
+            active_particle/kdk_level surface (inc/adaptive.h:12-20):
+            non-closing particles receive dkh = 0 and keep stale acc."""
+            blocks = [1 << max((nf.bit_length() - 1) - l, 0)
+                      for l in range(max_level + 1)]
+            closing = jnp.asarray(np.array(
+                [[(j + 1) % b == 0 for b in blocks] for j in range(nf)]))
+
+            def _kick_drift(pos, vel, acc, acc_pm, levels, dkh_row, dd_j):
+                dkh = (dkh_row[levels] * grav)[:, None]
+                vel = vel + (acc + acc_pm) * dkh
+                pos = pos + vel * dd_j
+                if cfg.periodic:
+                    pos = wrap_periodic(pos, cfg.boxsize)
+                return pos, vel
+
+            def _close(vel, acc, acc_pm, levels, dkh_row):
+                return vel + (acc + acc_pm) * (dkh_row[levels] * grav)[:, None]
+
+            def _flags(d):
+                z = jnp.zeros((), jnp.int32)
+                return (jnp.asarray(d.get("overflow", False), jnp.bool_),
+                        jnp.asarray(d.get("overflow_bits", z), jnp.int32),
+                        jnp.asarray(d.get("cic_overflow", False), jnp.bool_),
+                        jnp.asarray(d.get("skin_overflow", False), jnp.bool_))
+
+            def ladder(pos, vel, acc, acc_pm, levels, ids,
+                       dkh_open, dkh_close, dd):
+                # --- substep 0: rebuild (re-sorts; lists cached) --------
+                pos, vel = _kick_drift(pos, vel, acc, acc_pm, levels,
+                                       dkh_open[0], dd[0])
+                active = closing[0][levels]
+                if nf == 1:
+                    (acc_new, acc_pm_new, pos_s, perm, lists), dsub = \
+                        _rebuild(pos, active, True)
+                else:
+                    (acc_new, pos_s, perm, lists), dsub = \
+                        _rebuild(pos, active, False)
+                vel, acc, acc_pm, levels = (vel[perm], acc[perm],
+                                            acc_pm[perm], levels[perm])
+                ids = ids[perm] if has_ids else ids
+                pos = pos_ref = pos_s
+                active = closing[0][levels]
+                acc = jnp.where(active[:, None], acc_new, acc)
+                if nf == 1:
+                    acc_pm = acc_pm_new
+                vel = _close(vel, acc, acc_pm, levels, dkh_close[0])
+                ovf = _flags(dsub)
+
+                if nf > 1:
+                    def body(j, carry):
+                        pos, vel, acc, acc_pm, ovf = carry
+                        pos, vel = _kick_drift(pos, vel, acc, acc_pm,
+                                               levels, dkh_open[j], dd[j])
+                        act = closing[j][levels]
+                        (acc_new,), d = fmm_forces_reuse(
+                            pos, lists, pos_ref, cfgb,
+                            p2p_backend=backend, active=act)
+                        acc = jnp.where(act[:, None], acc_new, acc)
+                        vel = _close(vel, acc, acc_pm, levels, dkh_close[j])
+                        f = _flags(d)
+                        ovf = tuple(a | b for a, b in zip(ovf, f))
+                        return pos, vel, acc, acc_pm, ovf
+
+                    pos, vel, acc, acc_pm, ovf = jax.lax.fori_loop(
+                        1, nf - 1, body, (pos, vel, acc, acc_pm, ovf))
+                    # --- final substep: every particle closes, PM fires --
+                    j = nf - 1
+                    pos, vel = _kick_drift(pos, vel, acc, acc_pm, levels,
+                                           dkh_open[j], dd[j])
+                    act = closing[j][levels]
+                    (acc_new, acc_pm_new), dsub = fmm_forces_reuse(
+                        pos, lists, pos_ref, cfgb, p2p_backend=backend,
+                        pm_gf=gf_t, active=act)
+                    acc = jnp.where(act[:, None], acc_new, acc)
+                    acc_pm = acc_pm_new
+                    vel = _close(vel, acc, acc_pm, levels, dkh_close[j])
+                    ovf = tuple(a | b for a, b in zip(ovf, _flags(dsub)))
+                diag = dict(dsub)
+                diag["overflow"], diag["overflow_bits"], \
+                    diag["cic_overflow"], diag["skin_overflow"] = ovf
+                return pos, vel, acc, acc_pm, levels, ids, diag
+
+            return _aot_wrap(jax.jit(ladder))
+
         return dict(rebuild_pm=rebuild_pm, rebuild_plain=rebuild_plain,
                     reuse_pm=reuse_pm, reuse_plain=reuse_plain,
                     gated_kick_drift=gated_kick_drift,
                     gated_close=gated_close, permute_cols=permute_cols,
-                    apply_active=apply_active, levels_of=levels_of)
+                    apply_active=apply_active, levels_of=levels_of,
+                    make_ladder=make_ladder)
 
     def _block_macro_step_sorted(self, loga0: float, loga1: float,
                                  eta: float, max_level: int):
@@ -1045,7 +1145,7 @@ class Simulation:
 
         tau = kf(loga0, loga1)
         levels = fns["levels_of"](s.acc, s.acc_pm, tau, eta, max_level)
-        level_max = int(jnp.max(levels))
+        level_max = int(jnp.max(levels))          # the ONE host read/macro
         # level census for eta calibration / telemetry (the reference logs
         # adaptive_level_maximum, utility.c:16; we keep the histogram)
         self.last_levels = np.bincount(np.asarray(levels),
@@ -1054,54 +1154,31 @@ class Simulation:
         sub = np.linspace(loga0, loga1, nf + 1)
         blocks = [1 << max(level_max - l, 0) for l in range(max_level + 1)]
 
-        pos, vel, acc, acc_pm, ids = s.pos, s.vel, s.acc, s.acc_pm, s.ids
-        lists = pos_ref = None
-        diag: dict = {}
-        n_eval = 0
-        for j in range(nf):
-            dkh_open = jnp.asarray(
-                [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
-                 for b in blocks], dtype)
-            dd = float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
-            pos, vel = fns["gated_kick_drift"](pos, vel, acc, acc_pm,
-                                               levels, dkh_open, dd)
-            closing = jnp.asarray(
-                np.array([(j + 1) % b == 0 for b in blocks]))
-            active = closing[levels]
-            with_pm = j == nf - 1
-            if lists is None:
-                if with_pm:
-                    (acc_new, acc_pm_new, pos_s, perm, lists), dsub = \
-                        fns["rebuild_pm"](pos, active)
-                else:
-                    (acc_new, pos_s, perm, lists), dsub = \
-                        fns["rebuild_plain"](pos, active)
-                vel, levels, acc, acc_pm, ids = fns["permute_cols"](
-                    perm, vel, levels, acc, acc_pm, ids)
-                pos = pos_ref = pos_s
-                active = closing[levels]
-            else:
-                if with_pm:
-                    (acc_new, acc_pm_new), dsub = fns["reuse_pm"](
-                        pos, lists, pos_ref, active)
-                else:
-                    (acc_new,), dsub = fns["reuse_plain"](
-                        pos, lists, pos_ref, active)
-            acc = fns["apply_active"](acc, acc_new, active)
-            if with_pm:
-                acc_pm = acc_pm_new
-            dkh_close = jnp.asarray(
-                [0.5 * kf(sub[j + 1 - b], sub[j + 1])
-                 if (j + 1) % b == 0 else 0.0 for b in blocks], dtype)
-            vel = fns["gated_close"](vel, acc, acc_pm, levels, dkh_close)
-            n_eval += 1
-            dsub = dict(dsub)
-            for key in ("overflow", "overflow_bits", "cic_overflow",
-                        "skin_overflow"):
-                if key in dsub and key in diag:
-                    dsub[key] = dsub[key] | diag[key]
-            diag = dsub
-        diag["n_force_evals"] = n_eval
+        # per-substep kick/drift coefficient tables, host-precomputed
+        # (Simpson integrals, initial.c:648-692); the ladder is then one
+        # device dispatch for the whole macro (see make_ladder)
+        dkh_open = jnp.asarray(
+            [[0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
+              for b in blocks] for j in range(nf)], dtype)
+        dkh_close = jnp.asarray(
+            [[0.5 * kf(sub[j + 1 - b], sub[j + 1])
+              if (j + 1) % b == 0 else 0.0 for b in blocks]
+             for j in range(nf)], dtype)
+        dd = jnp.asarray(
+            [float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
+             for j in range(nf)], dtype)
+
+        has_ids = s.ids is not None
+        key = (nf, max_level, has_ids)
+        ladder = self._ladder_cache.get(key)
+        if ladder is None:
+            ladder = fns["make_ladder"](nf, max_level, has_ids)
+            self._ladder_cache[key] = ladder
+        pos, vel, acc, acc_pm, levels, ids, diag = ladder(
+            s.pos, s.vel, s.acc, s.acc_pm, levels, s.ids,
+            dkh_open, dkh_close, dd)
+        diag = dict(diag)
+        diag["n_force_evals"] = nf
         self.last_level_max = level_max
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,

@@ -133,13 +133,17 @@ def main():
     ap.add_argument("--targets", type=int, default=256)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--mesh-mult", type=int, default=2)
-    ap.add_argument("--rs-cells", type=float, default=1.75)
+    ap.add_argument("--rs-cells", type=float, default=2.0,
+                    help="split radius in mesh cells.  2.0 is the "
+                         "shipped default: measured 8.44e-4 at the "
+                         "256^3 flagship uniform state (the 1.75 "
+                         "geometry measured 1.17e-3, over budget)")
     ap.add_argument("--leaf-size", type=int, default=128)
     ap.add_argument("--rs-oracle", type=float, default=0.0,
                     help="oracle split radius (kpc/h); 0 = L/40")
-    ap.add_argument("--open-cap", type=int, default=192)
-    ap.add_argument("--p2p-cap", type=int, default=192)
-    ap.add_argument("--open-cap-levels", default="160,96,96",
+    ap.add_argument("--open-cap", type=int, default=256)
+    ap.add_argument("--p2p-cap", type=int, default=288)
+    ap.add_argument("--open-cap-levels", default="224,144,144",
                     help="'' = uniform open cap.  Default = the shipped "
                          "production schedule (run_pk_parity): uniform-"
                          "RANDOM states need fatter caps than the "
@@ -166,10 +170,13 @@ def main():
     ap.add_argument("--compare-dense", action="store_true",
                     help="cross-check against ops/direct.ewald_forces "
                          "(small n only)")
-    ap.add_argument("--interlace", action="store_true",
-                    help="full interlaced CIC (paint + readout; "
-                         "cfg.pm_interlace) -- the round-5 PM aliasing "
-                         "lever")
+    ap.add_argument("--interlace", default="off",
+                    choices=("off", "read", "full"),
+                    help="interlaced CIC mode (cfg.pm_interlace).  "
+                         "'full' cut the uniform toy ladder 2.6x but "
+                         "REGRESSED the flagship Zel'dovich state "
+                         "2.19e-3 -> 7.0e-3 (lattice CIC-kink "
+                         "pathology); 'read' is safe on every state")
     ap.add_argument("--exact-mac", action="store_true",
                     help="engine A/B: disable quantized MAC + tapered caps")
     ap.add_argument("--dtype", default="float32",

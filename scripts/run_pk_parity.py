@@ -61,14 +61,22 @@ def main():
                          "geometry found in the round-3 sweep: mesh 2n "
                          "with rs = 1.75 cells (6.3e-4 RMS, 2.4x less P2P "
                          "pair volume)")
-    ap.add_argument("--rs-cells", type=float, default=1.75,
+    ap.add_argument("--rs-cells", type=float, default=2.0,
                     help="Ewald split radius in PM mesh cells "
-                         "(rs = rs_cells * L / (mesh_mult*n))")
+                         "(rs = rs_cells * L / (mesh_mult*n)).  2.0 is "
+                         "the round-5 default: the 1.75 geometry "
+                         "measured 1.17e-3 RMS under the flagship Ewald "
+                         "oracle (over the <1e-3 budget; CIC aliasing), "
+                         "2.0 measures 8.44e-4 "
+                         "(artifacts/split_geometry256_r5.json) for "
+                         "~1.75x more P2P pair volume")
     # caps pre-sized for z=0 clustering at 256^3 (VERDICT r2 next-7:
     # p2p rows exceed 160 by z~13 under the old 96 default, costing
-    # elastic-recovery recompiles mid-run; a full run must finish with 0)
-    ap.add_argument("--open-cap", type=int, default=192)
-    ap.add_argument("--p2p-cap", type=int, default=192)
+    # elastic-recovery recompiles mid-run; a full run must finish with 0).
+    # rs 2.0 widens the cutoff ball 1.5x in volume over the rs-1.75 caps
+    # ((160,96,96)+192 settled by the round-4 recovery): scaled to match
+    ap.add_argument("--open-cap", type=int, default=256)
+    ap.add_argument("--p2p-cap", type=int, default=288)
     ap.add_argument("--cic-straddler-cap", type=int, default=192,
                     help="XLA residual-path capacity for leaves whose CIC "
                          "footprint exceeds the Pallas brick tile.  The "
@@ -80,7 +88,7 @@ def main():
                          "up-front the same way)")
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
-    ap.add_argument("--open-cap-levels", default="160,96,96",
+    ap.add_argument("--open-cap-levels", default="224,144,144",
                     help="leaf-anchored per-level open-cap schedule "
                          "(deepest internal level first; shallower levels "
                          "reuse the last entry).  The deep levels are "

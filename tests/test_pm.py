@@ -104,12 +104,13 @@ def test_pm_error_converges_with_resolution():
 
 
 def test_pm_interlace_cuts_aliasing():
-    """Full interlaced CIC (paint + readout, cfg.pm_interlace): the odd
-    alias images of BOTH windows cancel, cutting the PM error well below
-    the plain chain at the same rs = 1.25 cells.  Measured on this
-    realization: 2.19e-3 -> 8.4e-4 relative rms (the paint-only variant
-    saturates at 1.86e-3 -- the readout window dominates once the paint
-    is clean, so pm_accel interlaces both sides)."""
+    """Full interlaced CIC (paint + readout, cfg.pm_interlace='full'):
+    the odd alias images of BOTH windows cancel, cutting the PM error
+    well below the plain chain on STOCHASTIC states at the same
+    rs = 1.25 cells.  Measured on this realization: 2.19e-3 -> 8.4e-4
+    relative rms (paint-only saturates at 1.86e-3 -- the readout window
+    dominates once the paint is clean).  See the companion lattice test
+    for why 'full' is NOT the production default."""
     rng = np.random.default_rng(3)
     pos = rng.uniform(0, L, (128, 3))
     m, eps = 1.0, 1e-3
@@ -122,19 +123,51 @@ def test_pm_interlace_cuts_aliasing():
     gf = green_function(NSIDE, L, RS, dtype=jnp.float64)
 
     errs = {}
-    for il in (False, True):
+    for il in ("off", "full"):
         acc_pm = np.asarray(pm_accel(jnp.asarray(pos), gf, mass=m,
                                      boxsize=L, n_side=NSIDE, interlace=il))
         errs[il] = np.sqrt((((acc_pm - acc_long)**2).sum(-1)).mean()) / rms
-    assert errs[True] < 0.5 * errs[False]
-    assert errs[True] < 1.1e-3
+    assert errs["full"] < 0.5 * errs["off"]
+    assert errs["full"] < 1.1e-3
 
     # momentum conservation survives interlacing (paint/readout windows
     # stay identical, so the pairwise force matrix stays antisymmetric)
     acc_pm = pm_accel(jnp.asarray(pos), gf, mass=m, boxsize=L,
-                      n_side=NSIDE, interlace=True)
+                      n_side=NSIDE, interlace="full")
     arms = float(jnp.sqrt((acc_pm**2).sum(-1)).mean())
     assert np.abs(np.asarray(acc_pm.sum(0))).max() < 1e-10 * arms * 128
+
+
+def test_pm_interlace_lattice_pathology_and_read_mode():
+    """Displaced-lattice states (Zel'dovich ICs, mesh = 2x particle
+    grid): 'full' interlacing REGRESSES the force error ~3x -- the +H/2
+    shift parks every particle exactly on the shifted grid's CIC kink,
+    making the paint's displacement response one-sided (measured at the
+    256^3 flagship too: 2.19e-3 -> 7.0e-3).  'read' interlaces only the
+    readout and must not regress.  This is the measured basis for the
+    production default being rs = 2.0 cells with interlace off."""
+    rng = np.random.default_rng(3)
+    n, ns = 16, 32                           # mesh = 2x particle grid
+    rs = 1.75 * L / ns
+    g = (np.arange(n) + 0.5) * L / n
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    latt = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    pos = (latt + rng.normal(0, 0.02 * L / n, latt.shape)) % L
+    m, eps = 1.0, 1e-3
+    acc_total = ewald_forces(pos, m, L, rs, eps, n_images=2, k_max=32)
+    acc_short = np.asarray(direct_forces(
+        jnp.asarray(pos), mass=m, eps=eps, split_radius=rs, boxsize=L,
+        n_images=2))
+    acc_long = acc_total - acc_short
+    rms = np.sqrt((acc_total**2).sum(-1).mean())
+    gf = green_function(ns, L, rs, dtype=jnp.float64)
+    errs = {}
+    for il in ("off", "read", "full"):
+        acc_pm = np.asarray(pm_accel(jnp.asarray(pos), gf, mass=m,
+                                     boxsize=L, n_side=ns, interlace=il))
+        errs[il] = np.sqrt((((acc_pm - acc_long)**2).sum(-1)).mean()) / rms
+    assert errs["full"] > 2.0 * errs["off"]          # the known pathology
+    assert errs["read"] < errs["off"]                # 'read' is safe
 
 
 def test_total_force_split_independence_pm():
