@@ -156,18 +156,21 @@ def main():
     overhead = _overhead()
     results = []
 
-    def run(label, f, *a):
+    def run(label, f, *a, scale="production"):
         try:
             rate = f(*a, overhead=overhead, on_tpu=on_tpu)
         except Exception as e:                  # record, keep benching
             print(f"bench {label}: FAILED {type(e).__name__}: {e}",
                   file=sys.stderr)
             return
-        results.append({"config": label, "rate": rate})
+        results.append({"config": label, "rate": rate, "scale": scale})
         print(f"bench {label}: {rate:.3e} pairs/s", file=sys.stderr)
 
-    # round-1 headline configuration (demo scale)
-    run("32^3 S=128 redundant", measure_redundant, 32, 128, 30)
+    # demo scale (detail row): tight-cap tables flatter the redundant
+    # layout; the layout study (artifacts/hybrid_study.json) shows it
+    # loses at study-wide caps, so this is NOT headline-eligible
+    run("32^3 S=128 redundant", measure_redundant, 32, 128, 30,
+        scale="demo")
     if on_tpu:
         # production scale: the redundancy-vs-indexing tradeoff pair
         run("128^3 S=128 redundant", measure_redundant, 128, 128, 8)
@@ -180,12 +183,17 @@ def main():
     except OSError:
         pass
 
-    best = max(results, key=lambda r: r["rate"])
+    # headline = best PRODUCTION-scale configuration (VERDICT r3 weak-5:
+    # the demo-scale tight-cap redundant rate is kept as a detail row
+    # but must not headline -- it does not survive realistic caps)
+    prod = [r for r in results if r["scale"] == "production"]
+    best = max(prod or results, key=lambda r: r["rate"])
     print(json.dumps({
         "metric": "p2p_pair_interactions_per_sec_per_chip",
         "value": best["rate"],
         "unit": "pairs/s",
         "vs_baseline": best["rate"] / 1e10,
+        "config": best["config"],
     }))
 
 
