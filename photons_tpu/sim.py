@@ -658,13 +658,16 @@ class Simulation:
             # static Newtonian stepping: (a0, a_final) are internal TIME
             # bounds, dk = dd = dt (the KDK step is already pure in
             # (dk, dd); only the grid derivation is cosmological)
-            if adaptive:
-                raise ValueError("adaptive stepping is only implemented "
-                                 "for cosmological (log-a) integration")
+            if adaptive and adaptive != "block":
+                raise ValueError("global adaptive stepping is only "
+                                 "implemented for cosmological (log-a) "
+                                 "integration; use adaptive='block'")
             dt = (a_final - a0) / n_steps
             dk = dd = np.full(n_steps, dt)
             a_grid = a0 + dt * np.arange(n_steps + 1)
-            loga = np.log(np.maximum(a_grid, 1e-30))    # unused placeholders
+            # block macro bounds are TIME for newtonian configs (the
+            # macro-step fns branch on cfg.newtonian)
+            loga = a_grid
         else:
             dk, dd = cosmology.step_factors(a0, a_final, n_steps,
                                             cfg.omega_m, cfg.omega_x)
@@ -959,21 +962,26 @@ class Simulation:
         configs keep the generic (slow) path.
         Returns None if the config does not qualify."""
         cfg = self.cfg
-        if not (self.engine.startswith("fmm") and cfg.sorted_state
-                and cfg.longshort):
+        if not (self.engine.startswith("fmm") and cfg.sorted_state):
             return None
+        has_pm = cfg.longshort
         use_pallas_cic = (cfg.cic_backend == "pallas"
                           or (cfg.cic_backend == "auto"
                               and jax.default_backend() == "tpu"))
-        if not use_pallas_cic:
+        if has_pm and not use_pallas_cic:
             return None
         from photons_tpu.ops.fmm_engine import fmm_forces, fmm_forces_reuse
-        from photons_tpu.pm.solver import green_function_traced
         backend = self.engine.partition("-")[2] or "jnp"
         dtype = jnp.dtype(cfg.dtype)
         grav = cfg.grav_const
-        gf_t = partial(green_function_traced, cfg.n_side, cfg.boxsize,
-                       cfg.split_radius, dtype=dtype)
+        if has_pm:
+            from photons_tpu.pm.solver import green_function_traced
+            gf_t = partial(green_function_traced, cfg.n_side, cfg.boxsize,
+                           cfg.split_radius, dtype=dtype)
+        else:
+            # open-boundary Newtonian family (the packaged merger,
+            # models/merger.py): pure tree forces, no PM phase
+            gf_t = None
         # skin-inflated traversal cutoff so the macro-open lists stay
         # valid supersets across every substep (fmm_forces only inflates
         # when list_reuse > 1)
@@ -982,8 +990,8 @@ class Simulation:
         def _rebuild(pos, active, with_pm):
             out, diag = fmm_forces(
                 pos, cfgb, p2p_backend=backend, active=active,
-                pm_gf=gf_t if with_pm else None, layout="sorted",
-                return_lists=True)
+                pm_gf=gf_t if (with_pm and has_pm) else None,
+                layout="sorted", return_lists=True)
             return out, diag
 
         rebuild_pm = _aot_wrap(jax.jit(
@@ -1072,7 +1080,7 @@ class Simulation:
                 pos, vel = _kick_drift(pos, vel, acc, acc_pm, levels,
                                        dkh_open[0], dd[0])
                 active = closing[0][levels]
-                if nf == 1:
+                if nf == 1 and has_pm:
                     (acc_new, acc_pm_new, pos_s, perm, lists), dsub = \
                         _rebuild(pos, active, True)
                 else:
@@ -1084,7 +1092,7 @@ class Simulation:
                 pos = pos_ref = pos_s
                 active = closing[0][levels]
                 acc = jnp.where(active[:, None], acc_new, acc)
-                if nf == 1:
+                if nf == 1 and has_pm:
                     acc_pm = acc_pm_new
                 vel = _close(vel, acc, acc_pm, levels, dkh_close[0])
                 ovf = _flags(dsub)
@@ -1111,11 +1119,16 @@ class Simulation:
                     pos, vel = _kick_drift(pos, vel, acc, acc_pm, levels,
                                            dkh_open[j], dd[j])
                     act = closing[j][levels]
-                    (acc_new, acc_pm_new), dsub = fmm_forces_reuse(
-                        pos, lists, pos_ref, cfgb, p2p_backend=backend,
-                        pm_gf=gf_t, active=act)
+                    if has_pm:
+                        (acc_new, acc_pm_new), dsub = fmm_forces_reuse(
+                            pos, lists, pos_ref, cfgb, p2p_backend=backend,
+                            pm_gf=gf_t, active=act)
+                        acc_pm = acc_pm_new
+                    else:
+                        (acc_new,), dsub = fmm_forces_reuse(
+                            pos, lists, pos_ref, cfgb, p2p_backend=backend,
+                            active=act)
                     acc = jnp.where(act[:, None], acc_new, acc)
-                    acc_pm = acc_pm_new
                     vel = _close(vel, acc, acc_pm, levels, dkh_close[j])
                     ovf = tuple(a | b for a, b in zip(ovf, _flags(dsub)))
                 diag = dict(dsub)
@@ -1141,7 +1154,13 @@ class Simulation:
         dtype = jnp.dtype(cfg.dtype)
         om, ox = cfg.omega_m, cfg.omega_x
         s = self.state
-        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+        if cfg.newtonian:
+            # static stepping: macro bounds are internal TIME, dk=dd=dt
+            # (the merger family; config.newtonian notes)
+            kf = df = lambda a, b: b - a
+        else:
+            kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+            df = lambda a, b: float(cosmology.drift_factor(a, b, om, ox))
 
         tau = kf(loga0, loga1)
         levels = fns["levels_of"](s.acc, s.acc_pm, tau, eta, max_level)
@@ -1165,8 +1184,7 @@ class Simulation:
               if (j + 1) % b == 0 else 0.0 for b in blocks]
              for j in range(nf)], dtype)
         dd = jnp.asarray(
-            [float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
-             for j in range(nf)], dtype)
+            [df(sub[j], sub[j + 1]) for j in range(nf)], dtype)
 
         has_ids = s.ids is not None
         key = (nf, max_level, has_ids)
@@ -1181,8 +1199,9 @@ class Simulation:
         diag["n_force_evals"] = nf
         self.last_level_max = level_max
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
+        a_out = loga1 if cfg.newtonian else np.exp(loga1)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
-                         a=jnp.asarray(np.exp(loga1), dtype), ids=ids)
+                         a=jnp.asarray(a_out, dtype), ids=ids)
         return state, diag
 
     def _block_macro_step(self, loga0: float, loga1: float, eta: float,
@@ -1206,14 +1225,18 @@ class Simulation:
         dtype = jnp.dtype(cfg.dtype)
         om, ox = cfg.omega_m, cfg.omega_x
         s = self.state
+        if cfg.newtonian:
+            kf = df = lambda a, b: b - a        # macro bounds = time
+        else:
+            kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
+            df = lambda a, b: float(cosmology.drift_factor(a, b, om, ox))
 
-        tau = float(cosmology.kick_factor(loga0, loga1, om, ox))
+        tau = kf(loga0, loga1)
         levels = levels_of(s.acc, s.acc_pm, tau, eta, max_level)
         level_max = int(jnp.max(levels))
         nf = 1 << level_max
         sub = np.linspace(loga0, loga1, nf + 1)
         blocks = [1 << max(level_max - l, 0) for l in range(max_level + 1)]
-        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
 
         pos, vel, acc, acc_pm = s.pos, s.vel, s.acc, s.acc_pm
         overflow = False
@@ -1223,8 +1246,7 @@ class Simulation:
                 [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
                  for b in blocks], dtype)
             vel = kick(vel, acc, acc_pm, levels, dkh_open)
-            dd = float(cosmology.drift_factor(sub[j], sub[j + 1], om, ox))
-            pos = drift(pos, vel, dd)
+            pos = drift(pos, vel, df(sub[j], sub[j + 1]))
 
             closing = np.array([(j + 1) % b == 0 for b in blocks])
             active = jnp.asarray(closing)[levels]
@@ -1249,8 +1271,9 @@ class Simulation:
             diag["overflow"] = overflow
         self.last_level_max = level_max
         self.max_adaptive_level = max(self.max_adaptive_level, level_max)
+        a_out = loga1 if cfg.newtonian else np.exp(loga1)
         state = SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
-                         a=jnp.asarray(np.exp(loga1), dtype), ids=s.ids)
+                         a=jnp.asarray(a_out, dtype), ids=s.ids)
         return state, diag
 
     def _adaptive_level(self, dk: float, eta: float, max_level: int) -> int:

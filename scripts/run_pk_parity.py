@@ -211,6 +211,8 @@ def main():
         "s_per_step": wall / args.steps,
         "mesh_side": n_side, "rs_cells": args.rs_cells,
         "split_radius": cfg.split_radius,
+        "pm_gradient": sim.cfg.pm_gradient,
+        "pm_interlace": sim.cfg.pm_interlace,
         "recoveries": sim.recoveries,
         "adaptive": args.adaptive,
         "max_adaptive_level": int(getattr(sim, "max_adaptive_level", 0)),
