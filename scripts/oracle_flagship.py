@@ -139,6 +139,15 @@ def main():
                          "256^3 flagship uniform state (the 1.75 "
                          "geometry measured 1.17e-3, over budget)")
     ap.add_argument("--leaf-size", type=int, default=128)
+    ap.add_argument("--theta", type=float, default=None,
+                    help="MAC opening angle override.  At the shipped "
+                         "geometry (theta 0.4, S=128) M2L acceptance is "
+                         "geometrically impossible inside the cutoff "
+                         "(accept needs d > 5 w_node > cutoff for every "
+                         "practical leaf size) -- an M2L-ACTIVE flagship "
+                         "point needs small leaves + a loose MAC, e.g. "
+                         "--leaf-size 16 --theta 1.0 (VERDICT r3 weak-1 "
+                         "trial)")
     ap.add_argument("--rs-oracle", type=float, default=0.0,
                     help="oracle split radius (kpc/h); 0 = L/40")
     ap.add_argument("--open-cap", type=int, default=256)
@@ -222,7 +231,8 @@ def main():
         split_scale=args.rs_cells * cfg.boxsize / n_side,
         open_cap_levels=None if args.exact_mac else levels,
         traversal_quantized=not args.exact_mac,
-        pm_interlace=args.interlace)
+        pm_interlace=args.interlace,
+        **({"open_angle": args.theta} if args.theta else {}))
     L = cfg.boxsize
 
     a_tag = args.a
@@ -307,6 +317,8 @@ def main():
                    ("uniform" if args.uniform_ic else "zeldovich-ic")),
         "quantized_mac": not args.exact_mac,
         "interlace": args.interlace,
+        "theta": args.theta or cfg.open_angle,
+        "leaf_size": args.leaf_size,
         "open_cap": args.open_cap, "p2p_cap": args.p2p_cap,
         "open_cap_levels": (None if args.exact_mac or levels is None
                             else list(levels)),
