@@ -121,15 +121,22 @@ def part_b(args):
     from photons_tpu.models.lcdm import lcdm_config
     from photons_tpu.parallel.step import ShardedSimulation
 
-    # the 512^3 production plan's geometry: mesh 1024, rs = 2.0 cells,
-    # 2x2 bricks; particle load shrunk (shapes, not throughput, are
-    # what a CPU can de-risk)
+    # the 512^3 plan's geometry on 2x2 bricks; particle load shrunk
+    # (shapes, not throughput, are what a CPU can de-risk).  Default
+    # mesh 512 = the single-chip 512^3 smoke geometry (mesh_mult 1,
+    # BENCH_NOTES HBM budget); the budget-geometry mesh 1024 CANNOT be
+    # emulated on this 1-vCPU host: XLA:CPU's collective rendezvous
+    # hard-terminates after 40 s (rendezvous.cc, no flag), and one core
+    # serializing four shards' multi-GB pencil-FFT chunks starves the
+    # permute (measured crash at op_id=1) -- a virtual-device artifact,
+    # not a program property; mesh-1024 shapes need >= 4 real cores or
+    # chips.
     n_part = args.nb ** 3
-    cfg = lcdm_config(n_part=n_part, n_side=1024, leaf_size=128,
+    cfg = lcdm_config(n_part=n_part, n_side=args.nside, leaf_size=128,
                       dtype="float32", code_proj="mc512shape",
                       output_path=args.out)
     cfg = cfg.replace(
-        split_scale=2.0 * cfg.boxsize / 1024,
+        split_scale=2.0 * cfg.boxsize / args.nside,
         open_cap_per_node=256, p2p_neighbor_cap=288, m2l_cap_per_node=64,
         open_cap_levels=(224, 144, 144), traversal_quantized=True,
         cic_straddler_cap=192, shard_capacity_factor=1.25)
@@ -149,7 +156,7 @@ def part_b(args):
     from photons_tpu.parallel.step import gather_state
     gpos, _, _ = gather_state(sim.state)
     finite = bool(np.isfinite(np.asarray(gpos)).all())
-    out = {"mesh": "2x2", "n_side": 1024, "n_part": n_part,
+    out = {"mesh": "2x2", "n_side": args.nside, "n_part": n_part,
            "rs_cells": 2.0, "wall_first_step_s": wall,
            "recoveries": int(sim.recoveries),
            "finite": finite, "backend": args.backend}
@@ -167,6 +174,10 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--nb", type=int, default=32,
                     help="part b: particles per side (shapes only)")
+    ap.add_argument("--nside", type=int, default=512,
+                    help="part b: PM mesh side (512 = the single-chip "
+                         "512^3 smoke geometry; 1024 needs real cores, "
+                         "see part_b notes)")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--backend", default="indexing")
     ap.add_argument("--pk-tol", type=float, default=0.02)

@@ -235,6 +235,43 @@ def test_block_timesteps_sorted_fast_path():
     assert np.abs(o3 - o1).max() < 1e-3 * cfg.boxsize
 
 
+def test_block_timesteps_newtonian_merger_ladder():
+    """Block stepping on the Newtonian/open-boundary family (the merger)
+    through the one-jit substep ladder: macro bounds are TIME, no PM
+    phase, kick/drift tables linear (sim.make_ladder newtonian branch).
+    Level-0 parity with the fixed newtonian step, and refinement stays
+    finite with a dense core."""
+    from photons_tpu.models.merger import merger_config, ic_merger
+
+    cfg = merger_config(n_part=512, leaf_size=32, newtonian=True,
+                        sorted_state=True, open_cap_per_node=256,
+                        p2p_neighbor_cap=256, dtype="float64",
+                        verlet_skin=0.5)
+    pos, vel = ic_merger(cfg, seed=7)
+    t1 = 0.02
+
+    s1 = Simulation.from_arrays(cfg, pos, vel, engine="fmm", a=0.0)
+    s1.run(n_steps=2, a_final=t1)
+    o1 = np.asarray(s1.state.pos)[np.argsort(np.asarray(s1.state.ids))]
+
+    s2 = Simulation.from_arrays(cfg, pos, vel, engine="fmm", a=0.0)
+    s2.run(n_steps=2, a_final=t1, adaptive="block", eta=1e9)
+    assert s2._block_fast, "sorted open-boundary config must take the " \
+        "ladder path"
+    assert s2.max_adaptive_level == 0
+    assert float(s2.state.a) == pytest.approx(t1, rel=1e-12)
+    o2 = np.asarray(s2.state.pos)[np.argsort(np.asarray(s2.state.ids))]
+    # level 0 == fixed step up to the skin-inflated list margin (open
+    # boundary: lists are MAC-classified, the margin only adds pairs)
+    assert np.abs(o2 - o1).max() < 1e-6 * cfg.boxsize
+
+    s3 = Simulation.from_arrays(cfg, pos, vel, engine="fmm", a=0.0)
+    s3.run(n_steps=2, a_final=t1, adaptive="block", eta=1e-3, max_level=3)
+    assert s3.max_adaptive_level >= 1
+    o3 = np.asarray(s3.state.pos)[np.argsort(np.asarray(s3.state.ids))]
+    assert np.isfinite(o3).all()
+
+
 def test_block_timesteps_refine_per_particle():
     """A tight pair forces high levels for ITS particles while the smooth
     background stays at level 0; trajectory stays finite and momentum is
