@@ -84,7 +84,7 @@ class SimConfig:
     # the f32 differencing cancellation -- pm/solver.gradient_fd4_k);
     # "fd4" is the literal real-space stencil (partmesh.c:1318-1383);
     # "spectral" exact-ik differentiation
-    pm_interlace: str = "off"           # interlaced CIC ("off"/"read"/
+    pm_interlace: str = "read"          # interlaced CIC ("off"/"read"/
     # "full"; bools accepted: True == "full").  "full" adds a second
     # half-cell-shifted paint AND readout, phase-aligned in k and
     # averaged -- the classic odd-alias-image cancellation (Hockney &
@@ -97,9 +97,11 @@ class SimConfig:
     # the shifted grid's CIC kink, so the paint's displacement response
     # is one-sided.  "read" interlaces only the readout (no kink
     # pathology; helps both states mildly: lattice 2.34 -> 1.81e-3,
-    # uniform 2.19 -> 1.96e-3).  The production accuracy lever is
-    # rs = 2.0 mesh cells instead (measured 8.44e-4 at the 256^3
-    # flagship, artifacts/split_geometry256_r5.json)
+    # uniform 2.19 -> 1.96e-3).  "read" (the default) is what closes
+    # the <1e-3 budget on the z=0 clustered flagship: rs 2.0 cells
+    # alone measures 1.02e-3 there, rs 2.0 + read 9.57e-4; uniform
+    # passes either way (8.44e-4 at 'off')
+    # (artifacts/split_geometry256_r5.json)
     cic_backend: str = "auto"           # CIC paint/readout: "auto" uses the
     # Pallas leaf-brick kernels on TPU (pm/cic_pallas.py) and XLA
     # scatter/gather elsewhere; "xla" / "pallas" force a choice

@@ -460,6 +460,17 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
             "pure-Newtonian periodic multi-chip is unsupported: the ghost "
             "zone and far-field M2L are not wrap-aware; use longshort=True "
             "(TreePM, min-image near field + periodic PM) or periodic=False")
+    from photons_tpu.pm.solver import interlace_mode
+    if cfg.longshort and interlace_mode(cfg.pm_interlace) != "off":
+        # the brick/pencil PM does not implement interlaced readout yet
+        # (the phase factorizes per pencil axis, so it is implementable;
+        # NEXT.md round-6).  Say so ONCE rather than silently diverging
+        # from the single-chip numerics.
+        import sys
+        print("photoNs-TPU: sharded PM ignores pm_interlace="
+              f"{cfg.pm_interlace!r} (single-chip-only this round; the "
+              "sharded gradient also remains real-space fd4)",
+              file=sys.stderr, flush=True)
     dtype = jnp.dtype(cfg.dtype)
     grav = cfg.grav_const
     box = cfg.boxsize
