@@ -301,11 +301,15 @@ def test_config_grid_shape_honored(mesh):
     assert sim.mesh.devices.shape == (2, 4)
 
 
-def test_sharded_run_io_and_log(mesh, tmp_path):
+def test_sharded_run_io_and_log(mesh, tmp_path, monkeypatch):
     """Per-rank IO parity (snapshot.c:538-549 + photoNs.c:318): the sharded
     run writes per-shard snapshots that read_gadget reassembles, a run log
     with measured imbalance, and a resumable checkpoint."""
     from photons_tpu.io.gadget import read_gadget
+
+    # this test asserts the log lands at output_path -- point the
+    # conftest-wide run-scoped override (PHOTONS_LOG_DIR) at the same dir
+    monkeypatch.setenv("PHOTONS_LOG_DIR", str(tmp_path))
 
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
                     leaf_size=16, initial_redshift=49.0,
