@@ -54,20 +54,41 @@ def apply_m2l_pair(tree: Tree, lists: InteractionLists,
     """
     if locals_per_level is None:
         locals_per_level = [jnp.zeros_like(m) for m in tree.moments]
+    # the m2l kernel's derivative table materializes an
+    # (n_nodes*cap, 84) intermediate (84 = monomials to degree 6 for the
+    # octupole Taylor contraction): 23.6 GB at a 2^20-node leaf level
+    # with cap 64 (measured compile OOM at 512^3 S=128 and 256^3 S=16;
+    # XLA allocates it even under the any-accept lax.cond).  Chunk the
+    # TARGET-node axis so each slice's pair rows stay <= 2^22
+    # ((2^22, 84) f32 = 1.4 GB), like the P2M leaf-axis chunking.
+    row_budget = 1 << 22
     for lvl, (tbl, cnt) in enumerate(zip(lists.m2l, lists.m2l_counts)):
         d = lvl + 1                                  # tables start at depth 1
         n_nodes, cap = tbl.shape
-        valid = tbl >= 0
-        safe = jnp.maximum(tbl, 0)
-        disp = _min_image(tree.centers[d][:, None, :] - src_centers[d][safe],
-                          boxsize)
-        m_src = jnp.where(valid[..., None], src_moments[d][safe], 0.0)
-        # guard the padded rows against r = 0 in the kernel
-        disp = jnp.where(valid[..., None], disp, 1.0)
-        dl = mp.m2l(m_src.reshape(-1, mp.NMULTI), disp.reshape(-1, 3),
-                    split_radius=split_radius).reshape(n_nodes, cap, -1)
-        locals_per_level[d] = locals_per_level[d] + jnp.sum(
-            jnp.where(valid[..., None], dl, 0.0), axis=1)
+        chunk = max(1, min(n_nodes, row_budget // max(cap, 1)))
+
+        def level_block(tbl_c, centers_c):
+            valid = tbl_c >= 0
+            safe = jnp.maximum(tbl_c, 0)
+            disp = _min_image(centers_c[:, None, :] - src_centers[d][safe],
+                              boxsize)
+            m_src = jnp.where(valid[..., None], src_moments[d][safe], 0.0)
+            # guard the padded rows against r = 0 in the kernel
+            disp = jnp.where(valid[..., None], disp, 1.0)
+            dl = mp.m2l(m_src.reshape(-1, mp.NMULTI),
+                        disp.reshape(-1, 3),
+                        split_radius=split_radius).reshape(
+                tbl_c.shape[0], cap, -1)
+            return jnp.sum(jnp.where(valid[..., None], dl, 0.0), axis=1)
+
+        if chunk >= n_nodes:
+            add = level_block(tbl, tree.centers[d])
+        else:
+            add = jnp.concatenate(
+                [level_block(tbl[c0:c0 + chunk],
+                             tree.centers[d][c0:c0 + chunk])
+                 for c0 in range(0, n_nodes, chunk)], axis=0)
+        locals_per_level[d] = locals_per_level[d] + add
     return locals_per_level
 
 
