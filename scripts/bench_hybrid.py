@@ -94,11 +94,15 @@ def main():
     # multi-pass instead (dual_tree_traversal p2p_segment -- the
     # reference's LEN_TASK flush loop as a space-slice,
     # 2_Redundant/src/fmm.c:921,377-418), bounded to (nleaf, 512)/pass.
-    kind_caps = {"uniform": (256, 320), "mild": (256, 320),
-                 "strong": (768, 1024), "extreme": (2048, 512)}
+    # (open_cap, p2p_cap, m2l_cap): extreme's collapsed blobs ALSO
+    # produce accepted M2L pairs far beyond the uniform tiers' counts
+    # (measured bits=6 overflow at m2l 64)
+    kind_caps = {"uniform": (256, 320, 64), "mild": (256, 320, 64),
+                 "strong": (768, 1024, 64), "extreme": (2048, 512, 256)}
     from photons_tpu.ops.traversal import OVF_M2L, OVF_OPEN, OVF_P2P
     for kind in args.kinds.split(","):
-        open_cap, p2p_cap = kind_caps.get(kind, (256, args.p2p_cap))
+        open_cap, p2p_cap, m2l_cap = kind_caps.get(
+            kind, (256, args.p2p_cap, 64))
         pos = jnp.asarray(make_state(kind, n_part, L, rng), jnp.float32)
         tree = jax.block_until_ready(build_tree(
             pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
@@ -107,7 +111,7 @@ def main():
         def traverse(segment=0):
             return dual_tree_traversal(
                 tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=L,
-                open_cap=open_cap, m2l_cap=cfg.m2l_cap_per_node,
+                open_cap=open_cap, m2l_cap=m2l_cap,
                 p2p_cap=p2p_cap, quant_bounds=(0.0, L),
                 p2p_segment=segment)
 
