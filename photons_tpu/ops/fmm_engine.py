@@ -436,6 +436,15 @@ def pm_from_tree(tree: Tree, cfg: SimConfig, gf, interpret=None):
                             pos_shift, origins2, fits_r2)
         acc_pm_leaf = 0.5 * (acc_pm_leaf + acc2)
         fits_all = jnp.logical_and(fits_all, ok2)
+    if il_mode == "read":
+        # momentum projection (see pm_accel): read-only interlacing's
+        # window asymmetry injects a spurious uniform force; remove the
+        # mass-weighted mean over VALID particles so total momentum is
+        # conserved exactly again (equal masses)
+        m3 = tree.mask[..., None]
+        mean = (jnp.sum(jnp.where(m3, acc_pm_leaf, 0.0), axis=(0, 1))
+                / jnp.maximum(jnp.sum(tree.mask), 1))
+        acc_pm_leaf = jnp.where(m3, acc_pm_leaf - mean, acc_pm_leaf)
     return acc_pm_leaf, fits_all
 
 

@@ -394,6 +394,14 @@ def pm_accel(pos, gf, mass: float, boxsize: float, n_side: int,
         acc2 = cic_read_vector(grad_of(interlace_phase_mul(conv_k, n_side)),
                                pos - shift, boxsize, n_side)
         acc = 0.5 * (acc + acc2)
+    if mode == "read":
+        # read-only interlacing breaks the paint/readout window symmetry
+        # that makes plain (and 'full') PM conserve momentum exactly --
+        # measured net force 2.7e-4 of rms(a)*N.  The violation is a
+        # spurious alias-induced UNIFORM force (the true total is zero by
+        # Newton's third law): project it out so total momentum is again
+        # exact.  Equal masses, so the mass-weighted mean is the mean.
+        acc = acc - jnp.mean(acc, axis=0, keepdims=True)
     return acc
 
 

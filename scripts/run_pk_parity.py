@@ -86,6 +86,13 @@ def main():
                          "measured z=0 straddler count with margin "
                          "(VERDICT r3 next-6; fmm.c:774 sizes capacities "
                          "up-front the same way)")
+    ap.add_argument("--pm-interlace", default=None,
+                    choices=("off", "read", "full"),
+                    help="override cfg.pm_interlace (default: the config "
+                         "default, 'read').  The 512^3 single-chip smoke "
+                         "needs 'off': the second readout's gradient+"
+                         "padded fields cost ~4.7 GB at mesh 512 "
+                         "(measured 21.8/15.75 GB OOM)")
     ap.add_argument("--theta", type=float, default=None,
                     help="MAC opening angle override (flagship sweep winner)")
     ap.add_argument("--open-cap-levels", default="224,144,144",
@@ -162,6 +169,8 @@ def main():
         cfg = cfg.replace(open_cap_levels=tuple(
             int(x) for x in args.open_cap_levels.split(",")))
     cfg = cfg.replace(traversal_quantized=not args.no_quantized_mac)
+    if args.pm_interlace is not None:
+        cfg = cfg.replace(pm_interlace=args.pm_interlace)
     print(f"geometry: mesh {n_side}^3, rs = {args.rs_cells} cells "
           f"= {cfg.split_radius:.1f} kpc/h, cutoff = "
           f"{cfg.cutoff_radius:.1f} kpc/h", flush=True)

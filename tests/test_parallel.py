@@ -226,8 +226,12 @@ def test_sharded_step_2d_grid_matches_single_device(mesh42):
     pencil FFT) reproduces the single-device TreePM evolution."""
     from photons_tpu.sim import Simulation
 
+    # pm_interlace pinned off: the sharded brick PM does not implement
+    # interlaced readout yet (it prints a notice and ignores the knob;
+    # NEXT.md round-6), so default-config parity would compare different
+    # numerics
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
-                    leaf_size=16, initial_redshift=49.0)
+                    leaf_size=16, initial_redshift=49.0, pm_interlace="off")
     rng = np.random.default_rng(9)
     pos = rng.uniform(0, L, (512, 3))
     vel = rng.normal(size=(512, 3)) * 1e-4
