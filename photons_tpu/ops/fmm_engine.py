@@ -84,9 +84,13 @@ def apply_m2l_pair(tree: Tree, lists: InteractionLists,
         if chunk >= n_nodes:
             add = level_block(tbl, tree.centers[d])
         else:
+            # barrier per chunk: XLA otherwise fuses the chunked maps
+            # through the concatenate into one full-width loop (see the
+            # P2M chunking note in tree/build.py)
             add = jnp.concatenate(
-                [level_block(tbl[c0:c0 + chunk],
-                             tree.centers[d][c0:c0 + chunk])
+                [jax.lax.optimization_barrier(
+                    level_block(tbl[c0:c0 + chunk],
+                                tree.centers[d][c0:c0 + chunk]))
                  for c0 in range(0, n_nodes, chunk)], axis=0)
         locals_per_level[d] = locals_per_level[d] + add
     return locals_per_level

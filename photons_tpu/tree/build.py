@@ -121,10 +121,16 @@ def tree_from_sorted(leaf_pos, leaf_mask, perm, mass: float) -> Tree:
     # scale.  128K-leaf chunks keep the live temp at ~1.3 GB.
     _P2M_CHUNK = 1 << 17
     if n_leaf > _P2M_CHUNK:
+        # optimization_barrier per chunk: without it XLA fuses the
+        # chunked maps back through the concatenate into ONE loop whose
+        # temp is the full (nleaf, S, 20) monomial array -- the 10 GB
+        # allocation reappeared inside the full 512^3 force program
+        # (measured) even though standalone build_tree compiled fine
         m_leaf = jnp.concatenate([
-            p2m(leaf_pos[i:i + _P2M_CHUNK]
-                - center_leaf[i:i + _P2M_CHUNK, None, :],
-                masses[i:i + _P2M_CHUNK])
+            jax.lax.optimization_barrier(
+                p2m(leaf_pos[i:i + _P2M_CHUNK]
+                    - center_leaf[i:i + _P2M_CHUNK, None, :],
+                    masses[i:i + _P2M_CHUNK]))
             for i in range(0, n_leaf, _P2M_CHUNK)])
     else:
         m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
