@@ -117,10 +117,25 @@ def downward_l2l(tree: Tree, locals_per_level):
 
 
 def leaf_l2p(tree: Tree, leaf_locals):
-    """Evaluate leaf local expansions at the particles -> (nleaf, S, 3)."""
-    dx = tree.pos - tree.centers[-1][:, None, :]
-    acc = mp.l2p(leaf_locals, dx)
-    return jnp.where(tree.mask[..., None], acc, 0.0)
+    """Evaluate leaf local expansions at the particles -> (nleaf, S, 3).
+
+    Chunked over the leaf axis with per-chunk optimization_barriers:
+    l2p's monomial table is (nleaf, S, 20) -- 10 GB at a 2^20-leaf
+    512^3 tree (measured compile OOM; XLA fuses unbarriered chunks back
+    into one full-width loop, see tree/build.py's P2M note)."""
+    n_leaf = tree.pos.shape[0]
+    chunk = 1 << 17
+
+    def block(sl):
+        dx = tree.pos[sl] - tree.centers[-1][sl, None, :]
+        acc = mp.l2p(leaf_locals[sl], dx)
+        return jnp.where(tree.mask[sl, :, None], acc, 0.0)
+
+    if n_leaf <= chunk:
+        return block(slice(None))
+    return jnp.concatenate(
+        [jax.lax.optimization_barrier(block(slice(i, i + chunk)))
+         for i in range(0, n_leaf, chunk)])
 
 
 def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
