@@ -44,7 +44,10 @@ from photons_tpu.utils.timers import PhaseTimers
 # (pos_sorted, acc, acc_pm, perm, diag), all in tree order.
 ForceFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array, dict]]
 
-_gather_rows = jax.jit(lambda x, perm: x[perm])
+# donated input: the pre-sort array is dead once its rows are gathered
+# into the new order, and holding both copies during the gather tipped
+# the 512^3 initial force over HBM (state + sorted copy ~12 GB)
+_gather_rows = jax.jit(lambda x, perm: x[perm], donate_argnums=0)
 
 
 class CapacityOverflowError(RuntimeError):
@@ -486,12 +489,17 @@ class Simulation:
             forces = getattr(self._step_fn, "forces_sorted", None) \
                 or self._force_jit
             pos_s, acc, acc_pm, perm, diag = forces(self.state.pos)
-            vel = _gather_rows(self.state.vel, perm)
-            ids = None if self.state.ids is None \
-                else _gather_rows(self.state.ids, perm)
+            old_vel, old_ids = self.state.vel, self.state.ids
+            # drop the dead pre-sort pos/acc/acc_pm buffers BEFORE the
+            # gathers: at 512^3 the state plus its sorted copy is ~12 GB
+            # and the gather workspace tipped HBM (measured runtime OOM)
             self.state = dataclasses.replace(
-                self.state, pos=pos_s, vel=vel, acc=acc, acc_pm=acc_pm,
-                ids=ids)
+                self.state, pos=pos_s, acc=acc, acc_pm=acc_pm,
+                vel=jnp.zeros((0,)), ids=None)
+            vel = _gather_rows(old_vel, perm)
+            ids = None if old_ids is None else _gather_rows(old_ids, perm)
+            del old_vel, old_ids
+            self.state = dataclasses.replace(self.state, vel=vel, ids=ids)
             self._check_diag(diag)
             return
         forces_all = getattr(self._step_fn, "forces_all", None)
