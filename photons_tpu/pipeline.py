@@ -122,7 +122,8 @@ class PipelinedSimulation:
             @jax.jit
             def pm_fn(pos):
                 return pm_accel(pos, gf, mass=cfg.particle_mass,
-                                boxsize=box, n_side=cfg.n_side)
+                                boxsize=box, n_side=cfg.n_side,
+                                interlace=cfg.pm_interlace)
         else:
             @jax.jit
             def pm_fn(pos):
