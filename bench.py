@@ -188,13 +188,19 @@ def main():
     # but must not headline -- it does not survive realistic caps)
     prod = [r for r in results if r["scale"] == "production"]
     best = max(prod or results, key=lambda r: r["rate"])
-    print(json.dumps({
+    out = {
         "metric": "p2p_pair_interactions_per_sec_per_chip",
         "value": best["rate"],
         "unit": "pairs/s",
         "vs_baseline": best["rate"] / 1e10,
         "config": best["config"],
-    }))
+    }
+    if not prod:
+        # no production-scale row ran (non-TPU host): say so explicitly so
+        # the demo-scale tight-cap rate can never be read as a production
+        # number (ADVICE round 4)
+        out["scale"] = "demo"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

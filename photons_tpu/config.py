@@ -60,6 +60,25 @@ class SimConfig:
     # eliminating the (N, 3) unsort scatter (~1.4 s at 256^3 on a v5e --
     # a TPU row scatter costs ~10x a gather).  Particle identity moves to
     # an explicit ids column (fmm engines, single device)
+    p2p_passes: int = 1                 # segmented near-field multi-pass:
+    # process each leaf's neighbor row in this many p2p_cap-wide segments
+    # from ONE cached traversal (the reference's LEN_TASK task-buffer
+    # flush loop, 2_Redundant/src/fmm.c:921,377-418, as a space-slice).
+    # Elastic recovery increments it automatically once growing
+    # p2p_neighbor_cap would pass p2p_cap_budget -- extreme clustering
+    # then runs at bounded memory instead of growing until HBM OOM.
+    p2p_cap_budget: int = 512           # largest p2p_neighbor_cap elastic
+    # recovery may grow to before switching to segmented passes; the
+    # (nleaf, cap) table + kernel workspace scale linearly with it
+    hbm_frugal: Optional[bool] = None   # HBM-frugal stepping: donate the
+    # whole state pytree into the fused step (XLA then frees the dead
+    # pre-kick acc/vel buffers inside the program), allocate deferred
+    # (1, 3) acceleration placeholders, and keep the elastic-recovery
+    # rollback state as HOST copies instead of device arrays.  None
+    # (default) auto-enables at n_part_total >= 5e7, where the resident
+    # state (~7 GB at 512^3) plus its rollback alias plus the force
+    # program's workspace exceed a 16 GB chip (measured round-4 OOM);
+    # smaller runs keep the zero-copy device rollback.
     list_reuse: int = 1                 # rebuild the tree + interaction
     # lists every k-th step and reuse them in between (Verlet-list
     # amortization of the ~2.2 s prep+task cost at 256^3).  Reuse steps
@@ -189,6 +208,13 @@ class SimConfig:
     @property
     def initial_scale_factor(self) -> float:
         return 1.0 / (1.0 + self.initial_redshift)
+
+    @property
+    def frugal(self) -> bool:
+        """Resolved hbm_frugal (None -> auto by particle count)."""
+        if self.hbm_frugal is not None:
+            return bool(self.hbm_frugal)
+        return self.n_part_total >= 50_000_000
 
     @property
     def particle_mass(self) -> float:

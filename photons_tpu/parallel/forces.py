@@ -1,0 +1,340 @@
+"""Per-shard force evaluation (runs inside shard_map).
+
+The near-field FMM over local + ghost bodies, the brick-local PM with the
+in-trace pencil Green / k-space gradient / interlaced readout, and the
+open-boundary variant (remotes.c:337-809, partmesh.c:840-1251).  Split
+out of parallel/step.py (VERDICT r4 weak-7)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from photons_tpu.config import SimConfig
+from photons_tpu.ops.fmm_engine import fmm_forces
+from photons_tpu.parallel.grid import (AXES, AXX, AXY, OVF_S_GHOST,
+                                       OVF_S_PM, OVF_S_TRAV,
+                                       _global_invariants, shard_map)
+from photons_tpu.parallel.halo import gather_ghosts_2d
+
+
+def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
+                      p2p_backend: str, ghost_cap: int):
+    """Open-boundary (Newtonian, no PM) per-shard forces.
+
+    Near field: single-tree FMM over local + leaf-aligned ghost bodies.
+    Far field: remote-tree M2L with the ghost zone carved out
+    (parallel/farfield.py; reference fmm_remote + walk_toptree_m2l)."""
+    from photons_tpu.parallel.farfield import (far_field_and_ghosts,
+                                               ghost_horizon)
+    from photons_tpu.tree.build import build_tree
+
+    cap = pos.shape[0]
+    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
+                      lo=0.0, hi=cfg.boxsize, valid=valid)
+    horizon = ghost_horizon(tree, cfg.open_angle, AXES)
+    # one shared ring buffer sized like round-1's per-offset buffers summed:
+    # every remote shard's in-horizon leaves may land here
+    d_other = max(1, lax.axis_size(AXX) * lax.axis_size(AXY) - 1)
+    leaf_cap = max(1, ghost_cap // cfg.leaf_size) * d_other
+    acc_far, gpos, gval, fdiag = far_field_and_ghosts(
+        tree, xbounds, ybounds, horizon, cfg, leaf_cap, AXX, AXY)
+    pos_all = jnp.concatenate([pos, gpos])
+    val_all = jnp.concatenate([valid, gval])
+    acc_near, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
+                                valid=val_all)
+    acc = acc_near[:cap] + acc_far[:cap]
+    acc_pm = jnp.zeros_like(acc)
+
+    n_m2l = diag["n_m2l"] + fdiag["n_m2l_far"]
+    my_cost = (diag["n_p2p"] + n_m2l).astype(jnp.float32)
+    overflow = diag["overflow"] | fdiag["overflow"]
+    n_global, _ = _global_invariants(tree, lax.axis_size(AXX)
+                                     * lax.axis_size(AXY))
+    diag_out = {
+        "n_p2p": lax.psum(diag["n_p2p"], AXES),
+        "n_m2l": lax.psum(n_m2l, AXES),
+        "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
+        "ovf_kinds": lax.pmax(
+            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
+            | jnp.where(fdiag["overflow"], OVF_S_GHOST, 0), AXES),
+        "cost": lax.all_gather(my_cost, AXES),
+        "n_shard": lax.all_gather(jnp.sum(valid).astype(jnp.int32), AXES),
+        "n_global": n_global,
+        # far-field ring payload per stage (max over shards): surface-leaf
+        # pruning keeps this prop. to the interaction surface (VERDICT r2
+        # next-8; remotes.c:337-446 parity)
+        "ring_bytes": lax.pmax(fdiag["ring_bytes"], AXES),
+    }
+    return acc, acc_pm, diag_out
+
+
+def _pm_shard(pos, valid, xbounds, ybounds, cfg: SimConfig,
+              use_pallas: Optional[bool] = None):
+    """Brick-local PM long-range forces (runs inside shard_map).
+
+    Patch paint -> rim fold -> 2-D pencil FFT -> in-trace Green multiply
+    -> k-space gradient (cfg.pm_gradient, default fd4k) -> per-component
+    ghost exchange + CIC readout: O(n^3/D) memory and collective volume
+    per device (the reference's local bounding-box meshes + owned-cell
+    exchange, partmesh.c:840-1251; per-pencil Green, conv.f90:183-233).
+
+    Honors the full single-chip accuracy state (VERDICT r4 missing-2):
+    the Green's function is built in-trace per pencil (no 2.16 GB host
+    constant at mesh 1024), the gradient defaults to the fd4k k-space
+    transfer (the real-space fd4 stencil's f32 cancellation amplified
+    potential noise ~1e4x at the 512^3 mesh -- pm/solver.gradient_fd4_k),
+    and ``cfg.pm_interlace`` 'read'/'full' interlace the readout/paint
+    exactly like pm_accel (pm/solver.py).
+
+    ``use_pallas``: paint/readout via the leaf-brick MXU kernels
+    (pm/brick_pallas.py) instead of XLA corner scatters/gathers -- the
+    sharded equivalent of the single-chip cic_backend switch; None
+    resolves cfg.cic_backend ('auto' = kernels on TPU, like sim.py)."""
+    from photons_tpu.pm.solver import interlace_mode
+    if use_pallas is None:
+        use_pallas = (cfg.cic_backend == "pallas"
+                      or (cfg.cic_backend == "auto"
+                          and jax.default_backend() == "tpu"))
+    from photons_tpu.parallel.fft import (gradient_mul_i_local,
+                                          green_local_xpencil,
+                                          interlace_phase_local,
+                                          pencil_forward_2d,
+                                          pencil_inverse_2d)
+    from photons_tpu.pm.brick import (expand_phi, fold_patch, gradient_patch,
+                                      paint_patch, patch_geometry,
+                                      read_patch_vector)
+    box = cfg.boxsize
+    n_side = cfg.n_side
+    dtype = pos.dtype
+    mode = interlace_mode(cfg.pm_interlace)
+    gradient = cfg.pm_gradient
+    dx = lax.axis_size(AXX)
+    dy = lax.axis_size(AXY)
+    nx_loc = n_side // dx
+    ny_loc = n_side // dy
+    # interlaced readout samples at pos - H/2: the patch origin moves one
+    # cell down so the shifted CIC corner stays inside (margin +1)
+    marg = 1 if mode != "off" else 0
+    px = patch_geometry(n_side, dx, cfg.pm_patch_factor, margin=4 + marg)
+    py = patch_geometry(n_side, dy, cfg.pm_patch_factor, margin=4 + marg)
+    delta = box / n_side
+    ox = (jnp.floor(xbounds[lax.axis_index(AXX)] / delta).astype(jnp.int32)
+          - 1 - marg)
+    oy = (jnp.floor(ybounds[lax.axis_index(AXY)] / delta).astype(jnp.int32)
+          - 1 - marg)
+    need_x = (jnp.floor(xbounds[lax.axis_index(AXX) + 1] / delta)
+              .astype(jnp.int32) + 2 - ox)
+    need_y = (jnp.floor(ybounds[lax.axis_index(AXY) + 1] / delta)
+              .astype(jnp.int32) + 2 - oy)
+    scale = cfg.particle_mass * (n_side / box) ** 3
+    pos0 = jnp.where(valid[:, None], pos, 0.0)
+    shift = 0.5 * delta
+
+    if use_pallas:
+        from photons_tpu.pm.brick_pallas import (HALO, paint_patch_pallas,
+                                                 read_patch_pallas)
+        from photons_tpu.pm.cic_pallas import effective_tile
+        tile = min(effective_tile(n_side, cfg.cic_tile),
+                   ((min(px, py) + 2 * HALO) // 8) * 8)
+        # the painted buffer is the HALO-extended patch (origin -H);
+        # hops must reach its extra rim rows
+        hx_pm = (min(dx // 2, -(-(px + 2 * HALO) // nx_loc))
+                 if dx > 1 else 0)
+        hy_pm = (min(dy // 2, -(-(py + 2 * HALO) // ny_loc))
+                 if dy > 1 else 0)
+        patch_ext, blocks, cic_ovf = paint_patch_pallas(
+            pos0, valid, scale, box, n_side, ox, oy, px, py, tile,
+            cfg.leaf_size, cfg.cic_straddler_cap)
+        brick, fold_ovf = fold_patch(patch_ext, ox - HALO, oy - HALO,
+                                     n_side, hx_pm, hy_pm, AXX, AXY)
+        lost = cic_ovf
+    else:
+        hx_pm = min(dx // 2, -(-(px + 4) // nx_loc)) if dx > 1 else 0
+        hy_pm = min(dy // 2, -(-(py + 4) // ny_loc)) if dy > 1 else 0
+        patch, lost = paint_patch(pos0, valid.astype(dtype) * scale,
+                                  box, n_side, ox, oy, px, py)
+        brick, fold_ovf = fold_patch(patch, ox, oy, n_side, hx_pm, hy_pm,
+                                     AXX, AXY)
+
+    fk = pencil_forward_2d(brick, AXX, AXY)
+    exp_bad = jnp.asarray(False)
+    if mode == "full":
+        # second half-cell-shifted paint, phase-aligned and averaged in k
+        # (pm_accel mode 'full'; shifted corners stay in [ox, ox+need))
+        patch2, lost2 = paint_patch(
+            jnp.where(valid[:, None], pos0 + shift, 0.0),
+            valid.astype(dtype) * scale, box, n_side, ox, oy, px, py)
+        brick2, fold2 = fold_patch(patch2, ox, oy, n_side, hx_pm, hy_pm,
+                                   AXX, AXY)
+        lost |= lost2
+        fold_ovf |= fold2
+        fk2 = pencil_forward_2d(brick2, AXX, AXY)
+        fk = 0.5 * (fk + interlace_phase_local(fk2, n_side, AXX, AXY))
+    conv = fk * green_local_xpencil(n_side, box, cfg.split_radius,
+                                    AXX, AXY, fk.real.dtype)
+    del fk
+
+    def grad_patches(ck):
+        """Spectrum -> three (px, py, n) gradient patches at origin ox."""
+        bad = jnp.asarray(False)
+        if gradient == "fd4":
+            # legacy real-space stencil: one potential patch with the
+            # +-2-plane ghost margin, then the sliced fd4 stencil
+            phi_brick = pencil_inverse_2d(ck, nx_loc, ny_loc, AXX, AXY,
+                                          dtype)
+            phi_patch, b = expand_phi(phi_brick, ox - 2, oy - 2, px + 4,
+                                      py + 4, need_x + 4, need_y + 4,
+                                      n_side, hx_pm, hy_pm, AXX, AXY)
+            return gradient_patch(phi_patch, box, n_side), b
+        out = []
+        for axn in range(3):
+            gk = gradient_mul_i_local(ck, axn, n_side, box, AXX, AXY,
+                                      gradient)
+            gb = pencil_inverse_2d(gk, nx_loc, ny_loc, AXX, AXY, dtype)
+            # k-space gradients need no stencil margin: the patch rows
+            # [ox, ox+need) already cover every CIC corner
+            gp, b = expand_phi(gb, ox, oy, px, py, need_x, need_y,
+                               n_side, hx_pm, hy_pm, AXX, AXY)
+            bad |= b
+            out.append(gp)
+        return tuple(out), bad
+
+    grads, exp_bad = grad_patches(conv)
+    if use_pallas:
+        acc_pm = read_patch_pallas(grads, pos0, blocks, box, n_side,
+                                   ox, oy, px, py, tile)
+    else:
+        acc_pm = read_patch_vector(grads, pos0, box, n_side, ox, oy, px, py)
+    if mode in ("read", "full"):
+        # the same force spectrum sampled on the +H/2-shifted grid; in
+        # that grid's frame the particle coordinate is pos - H/2
+        # (pm_accel).  The shifted readout takes the per-particle XLA
+        # path on both backends: its CIC fractions differ from the paint
+        # blocks' cached brick origins, and a half-cell shift can push a
+        # block's footprint past its Pallas tile.
+        grads2, bad2 = grad_patches(
+            interlace_phase_local(conv, n_side, AXX, AXY))
+        exp_bad |= bad2
+        acc2 = read_patch_vector(grads2, pos0 - shift, box, n_side,
+                                 ox, oy, px, py)
+        acc_pm = 0.5 * (acc_pm + acc2)
+    acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
+    if mode == "read":
+        # momentum projection (pm_accel mode 'read'): readout-side
+        # interlacing breaks the paint/readout window symmetry, leaving a
+        # spurious alias-induced uniform force; subtract the GLOBAL
+        # mass-weighted mean (equal masses -> plain mean over all valid
+        # particles, psum across the mesh)
+        tot = lax.psum(jnp.sum(acc_pm, axis=0), AXES)
+        cnt = lax.psum(jnp.sum(valid.astype(dtype)), AXES)
+        acc_pm = jnp.where(valid[:, None], acc_pm - tot / cnt, 0.0)
+    # a patch covering the whole ring (px == n, mod-n wrap) always fits;
+    # the linear extent check only applies to genuinely partial patches
+    pm_ovf = lost | fold_ovf | exp_bad
+    if px < n_side:
+        pm_ovf |= need_x > px
+    if py < n_side:
+        pm_ovf |= need_y > py
+    return acc_pm, pm_ovf
+
+
+def _force_shard(pos, valid, xbounds, ybounds, cfg: SimConfig,
+                 p2p_backend: str, hops_x: int, hops_y: int, ghost_cap: int):
+    """Per-shard short-range + PM forces (runs inside shard_map)."""
+    if not cfg.longshort:
+        return _force_shard_open(pos, valid, xbounds, ybounds, cfg,
+                                 p2p_backend, ghost_cap)
+    cap = pos.shape[0]
+    box = cfg.boxsize
+    dtype = pos.dtype
+    dx = lax.axis_size(AXX)
+    dy = lax.axis_size(AXY)
+    d = dx * dy
+    n_side = cfg.n_side
+    nx_loc = n_side // dx
+    ny_loc = n_side // dy
+
+    # ---- short range: ghosts + local FMM -------------------------------
+    if d == 1:
+        # one device: the min-image local tree already sees every source;
+        # a ghost buffer would only pad the tree with dead slots
+        pos_all, val_all = pos, valid
+        g_ovf = halo_bad = jnp.asarray(False)
+    else:
+        gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
+            pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
+            hops_x, hops_y, AXX, AXY)
+        pos_all = jnp.concatenate([pos, gpos])
+        val_all = jnp.concatenate([valid, gval])
+    acc_all, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
+                               valid=val_all)
+    acc = acc_all[:cap]
+
+    # ---- top tree: domain flags + global invariants ---------------------
+    # (connect_local_toptree / walk_toptree_m2l parity: the near mask is
+    # the ExtDomain[] analogue; every near domain must be a served hop).
+    # Only the shard ROOT is needed, so compute it directly from masked
+    # reductions + one p2m instead of a second full tree build.
+    from photons_tpu.ops.multipoles import p2m
+    from photons_tpu.parallel.toptree import toptree_far_field
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    pmin = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    pmax = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    n_local = jnp.sum(valid)
+    root_center = jnp.where(n_local > 0, 0.5 * (pmin + pmax), 0.0)
+    root_width = jnp.where(n_local > 0, pmax - pmin, 0.0)
+    root_m = p2m(pos - root_center,
+                 jnp.where(valid, cfg.particle_mass, 0.0).astype(dtype))
+
+    class _Root:
+        centers = (root_center[None, :],)
+        widths = (root_width[None, :],)
+        counts = (n_local[None],)
+        moments = (root_m[None, :],)
+
+    _, near_mask, _ = toptree_far_field(
+        _Root, AXES, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
+    n_global, mass_global = _global_invariants(_Root, d)
+    ix = lax.axis_index(AXX)
+    iy = lax.axis_index(AXY)
+    rx = jnp.arange(d) // dy
+    ry = jnp.arange(d) % dy
+    hx = jnp.minimum((rx - ix) % dx, (ix - rx) % dx)
+    hy = jnp.minimum((ry - iy) % dy, (iy - ry) % dy)
+    unserved_near = jnp.any(near_mask & ((hx > hops_x) | (hy > hops_y)))
+    halo_bad = halo_bad | unserved_near
+
+    acc_pm, pm_ovf = _pm_shard(pos, valid, xbounds, ybounds, cfg)
+
+    # ---- diagnostics (replicated scalars) -------------------------------
+    my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
+    cost = lax.all_gather(my_cost, AXES)                   # (Dx*Dy,)
+    # TreePM ring payload = the packed boundary-skin buffer per hop
+    # (parallel/halo.py carries pos + validity in one (cap, 4) array)
+    skin_bytes = ghost_cap * 4 * jnp.dtype(dtype).itemsize
+    diag_out = {
+        "n_p2p": lax.psum(diag["n_p2p"], AXES),
+        "n_m2l": lax.psum(diag["n_m2l"], AXES),
+        "overflow": lax.pmax(
+            (diag["overflow"] | g_ovf | halo_bad | pm_ovf).astype(jnp.int32),
+            AXES),
+        "ovf_kinds": lax.pmax(
+            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
+            | jnp.where(g_ovf | halo_bad, OVF_S_GHOST, 0)
+            | jnp.where(pm_ovf, OVF_S_PM, 0), AXES),
+        "cost": cost,
+        "n_shard": lax.all_gather(n_local.astype(jnp.int32), AXES),
+        "n_global": n_global,
+        "ring_bytes": jnp.asarray(min(skin_bytes, 2**31 - 1), jnp.int32),
+    }
+    return acc, acc_pm, diag_out
+
+

@@ -10,7 +10,7 @@ re-architected for the ICI mesh, with the reference's 2-D process grid
   -> ghost halo exchange over the grid             (fmm_remote ring)
   -> per-shard tree + traversal + P2P + M2L + L2L + L2P
   -> brick-painted density -> 2-D pencil FFT Poisson (partmesh + 2DECOMP)
-  -> all_gather potential, gradient + CIC readout
+  -> per-component gradient patches + CIC readout
   -> closing kick
 
 The whole step is ONE jitted function over sharded arrays; every collective
@@ -20,6 +20,12 @@ cost (idxP2P+idxM2L metric, fmm.c:1139; relaxation 0.3, domains.c:86-144)
 along both axes independently (the marginals of the brick cost matrix).
 
 A 1-D slab decomposition is the dy == 1 special case of the same code.
+
+This module holds the STEP BUILDERS (make_sharded_step,
+make_sharded_block_fns); the grid/state plumbing lives in
+parallel/grid.py, the per-shard force evaluation in parallel/forces.py,
+and the driver in parallel/sharded_sim.py (VERDICT r4 weak-7 split).
+Every historical name is re-exported here, so call sites are stable.
 """
 
 from __future__ import annotations
@@ -34,410 +40,18 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-
-def shard_map(f, mesh=None, in_specs=None, out_specs=None, check_rep=True):
-    """``jax.shard_map`` with the legacy ``check_rep`` keyword.
-
-    The repo predates the ``jax.experimental.shard_map`` ->
-    ``jax.shard_map`` move (the experimental import warns on deletion
-    notice in jax 0.9); this adapter keeps every call site stable while
-    using only the public API.  ``check_rep`` maps onto ``check_vma``,
-    the renamed replication/varying-axes check.
-    """
-    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=check_rep)
-
 from photons_tpu.config import SimConfig
-from photons_tpu.ops.fmm_engine import fmm_forces
-from photons_tpu.parallel.fft import (green_function_pencil2d,
-                                      pencil_poisson_2d)
+from photons_tpu.parallel.forces import (_force_shard, _force_shard_open,
+                                         _pm_shard)
+from photons_tpu.parallel.grid import (AXES, AXX, AXY, OVF_S_GHOST,
+                                       OVF_S_MIG, OVF_S_PM, OVF_S_TRAV,
+                                       ShardedState, _global_invariants,
+                                       as_grid_mesh, gather_state,
+                                       make_sharded_state, rebalance_bounds,
+                                       shard_map)
 from photons_tpu.parallel.halo import gather_ghosts_2d
 from photons_tpu.parallel.migrate import migrate_2d
-
-AXX = "x"
-AXY = "y"
-AXES = (AXX, AXY)
-
-# which sharded capacity tripped (diag["ovf_kinds"] bitmask): the sharded
-# elastic recovery grows only the config knob the bit names, like the
-# single-chip overflow_bits (ops/traversal.OVF_*)
-OVF_S_TRAV, OVF_S_GHOST, OVF_S_PM, OVF_S_MIG = 1, 2, 4, 8
-
-
-def as_grid_mesh(mesh: Mesh, cfg: Optional[SimConfig] = None) -> Mesh:
-    """Coerce a mesh to the 2-D (x, y) process grid.
-
-    1-D meshes become (D, 1) unless the config carries the reference's
-    NprocVertical/NprocHorizon keys (initial.c:253-254), which then fix the
-    grid shape."""
-    if len(mesh.axis_names) == 2:
-        return mesh
-    devs = mesh.devices.reshape(-1)
-    d = devs.size
-    if cfg is not None and cfg.n_proc_vertical > 0 and cfg.n_proc_horizon > 0:
-        dx, dy = cfg.n_proc_vertical, cfg.n_proc_horizon
-        if dx * dy != d:
-            raise ValueError(
-                f"NprocVertical*NprocHorizon = {dx}*{dy} != {d} devices")
-    else:
-        dx, dy = d, 1
-    return Mesh(devs.reshape(dx, dy), AXES)
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class ShardedState:
-    """Capacity-padded particle state, sharded on the leading axis over
-    both mesh axes (brick k = device (k // dy, k % dy)).
-
-    pos/vel/acc/acc_pm: (Dx*Dy*cap, 3); valid: (Dx*Dy*cap,);
-    xbounds: (Dx+1,) / ybounds: (Dy+1,) grid lines (replicated); a."""
-
-    pos: jax.Array
-    vel: jax.Array
-    acc: jax.Array
-    acc_pm: jax.Array
-    valid: jax.Array
-    xbounds: jax.Array
-    ybounds: jax.Array
-    a: jax.Array
-
-
-def make_sharded_state(cfg: SimConfig, mesh: Mesh, pos, vel, a: float):
-    """Distribute global particle arrays into brick-owned padded shards."""
-    mesh = as_grid_mesh(mesh, cfg)
-    dx, dy = mesh.devices.shape
-    d = dx * dy
-    dtype = jnp.dtype(cfg.dtype)
-    n = pos.shape[0]
-    # one device owns everything forever: no migration can overflow, so
-    # no padding (a 2x capacity factor would double every tree/traversal
-    # shape for nothing -- measured 3.3x step-time tax at 128^3)
-    factor = cfg.shard_capacity_factor if d > 1 else 1.0
-    cap = int(np.ceil(n / d * factor))
-
-    pos = np.asarray(pos)
-    vel = np.asarray(vel)
-    # initial grid lines from the particle distribution's marginal
-    # quantiles (the reference's proportional initial split,
-    # domain_volume_part domains.c:401-430) -- uniform lines would
-    # overflow tight 1.25x caps on clustered ICs before the per-step
-    # rebalance ever runs
-    def _qbounds(coords, k):
-        if k == 1:
-            return np.array([0.0, cfg.boxsize])
-        inner = np.quantile(coords, np.arange(1, k) / k)
-        return np.concatenate([[0.0], np.sort(inner), [cfg.boxsize]])
-    xb = _qbounds(pos[:, 0], dx)
-    yb = _qbounds(pos[:, 1], dy)
-
-    ox = np.clip(np.searchsorted(xb[1:dx], pos[:, 0], side="right"),
-                 0, dx - 1)
-    oy = np.clip(np.searchsorted(yb[1:dy], pos[:, 1], side="right"),
-                 0, dy - 1)
-    owner = ox * dy + oy
-    counts = np.bincount(owner, minlength=d)
-    if counts.max() > cap:
-        # marginal quantiles cannot balance a correlated joint
-        # distribution: grow THIS state's capacity to fit rather than
-        # fail (keeps the configured factor honest for the common case;
-        # per-step rebalancing evens the bricks out afterwards)
-        import sys
-        print(f"photoNs-TPU: initial brick max count {counts.max()} > "
-              f"cap {cap} (factor {factor:g}); growing capacity to fit",
-              file=sys.stderr, flush=True)
-        cap = int(counts.max())
-    pos_p = np.zeros((d * cap, 3), dtype)
-    vel_p = np.zeros((d * cap, 3), dtype)
-    val_p = np.zeros((d * cap,), bool)
-    for i in range(d):
-        sel = owner == i
-        k = int(sel.sum())
-        pos_p[i * cap:i * cap + k] = pos[sel]
-        vel_p[i * cap:i * cap + k] = vel[sel]
-        val_p[i * cap:i * cap + k] = True
-
-    shard = NamedSharding(mesh, P(AXES))
-    rep = NamedSharding(mesh, P())
-    return ShardedState(
-        pos=jax.device_put(jnp.asarray(pos_p), shard),
-        vel=jax.device_put(jnp.asarray(vel_p), shard),
-        acc=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
-        acc_pm=jax.device_put(jnp.zeros((d * cap, 3), dtype), shard),
-        valid=jax.device_put(jnp.asarray(val_p), shard),
-        xbounds=jax.device_put(jnp.asarray(xb, dtype), rep),
-        ybounds=jax.device_put(jnp.asarray(yb, dtype), rep),
-        a=jax.device_put(jnp.asarray(a, dtype), rep),
-    )
-
-
-def gather_state(state: ShardedState):
-    """Collect valid particles back to host order (for IO/diagnostics)."""
-    valid = np.asarray(state.valid)
-    return (np.asarray(state.pos)[valid], np.asarray(state.vel)[valid],
-            float(state.a))
-
-
-def rebalance_bounds(bounds, cost, relax: float = 0.3):
-    """Move grid lines along one axis toward equal cumulative cost.
-
-    cost: (D,) measured per-slab cost (idxP2P+idxM2L analogue; for the 2-D
-    grid, the marginal of the brick cost matrix along this axis).  Inverse
-    interpolation of the cumulative cost, relaxed by 0.3 like the
-    reference's split-shift (domains.c:86-144)."""
-    d = cost.shape[0]
-    cum = jnp.concatenate([jnp.zeros((1,), cost.dtype), jnp.cumsum(cost)])
-    total = cum[-1]
-    targets = total * jnp.arange(1, d) / d
-    # invert piecewise-linear cum(bounds) at the targets
-    seg = jnp.clip(jnp.searchsorted(cum, targets, side="right") - 1, 0, d - 1)
-    frac = (targets - cum[seg]) / jnp.maximum(cum[seg + 1] - cum[seg], 1e-30)
-    ideal = bounds[seg] + frac * (bounds[seg + 1] - bounds[seg])
-    new_inner = bounds[1:d] + relax * (ideal - bounds[1:d])
-    # keep boundaries ordered with a minimal slab width
-    new_inner = jnp.sort(new_inner)
-    return jnp.concatenate([bounds[:1], new_inner, bounds[d:]])
-
-
-def _global_invariants(tree, d: int):
-    """Global particle count + root monopole through the binary domain
-    tree (walk_toptree_m2m parity, toptree.c:185-202): wires
-    ``domain_tree_moments`` into the production diag so every sync
-    verifies no particle was silently dropped."""
-    from photons_tpu.parallel.toptree import domain_tree_moments
-    if d & (d - 1) == 0:                         # power-of-two grids
-        _, gm, gn = domain_tree_moments(tree, AXES)
-        return gn[0][0], gm[0][0, 0]
-    return (lax.psum(tree.counts[0][0], AXES),
-            lax.psum(tree.moments[0][0, 0], AXES))
-
-
-def _force_shard_open(pos, valid, xbounds, ybounds, cfg: SimConfig,
-                      p2p_backend: str, ghost_cap: int):
-    """Open-boundary (Newtonian, no PM) per-shard forces.
-
-    Near field: single-tree FMM over local + leaf-aligned ghost bodies.
-    Far field: remote-tree M2L with the ghost zone carved out
-    (parallel/farfield.py; reference fmm_remote + walk_toptree_m2l)."""
-    from photons_tpu.parallel.farfield import (far_field_and_ghosts,
-                                               ghost_horizon)
-    from photons_tpu.tree.build import build_tree
-
-    cap = pos.shape[0]
-    tree = build_tree(pos, mass=cfg.particle_mass, leaf_size=cfg.leaf_size,
-                      lo=0.0, hi=cfg.boxsize, valid=valid)
-    horizon = ghost_horizon(tree, cfg.open_angle, AXES)
-    # one shared ring buffer sized like round-1's per-offset buffers summed:
-    # every remote shard's in-horizon leaves may land here
-    d_other = max(1, lax.axis_size(AXX) * lax.axis_size(AXY) - 1)
-    leaf_cap = max(1, ghost_cap // cfg.leaf_size) * d_other
-    acc_far, gpos, gval, fdiag = far_field_and_ghosts(
-        tree, xbounds, ybounds, horizon, cfg, leaf_cap, AXX, AXY)
-    pos_all = jnp.concatenate([pos, gpos])
-    val_all = jnp.concatenate([valid, gval])
-    acc_near, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
-                                valid=val_all)
-    acc = acc_near[:cap] + acc_far[:cap]
-    acc_pm = jnp.zeros_like(acc)
-
-    n_m2l = diag["n_m2l"] + fdiag["n_m2l_far"]
-    my_cost = (diag["n_p2p"] + n_m2l).astype(jnp.float32)
-    overflow = diag["overflow"] | fdiag["overflow"]
-    n_global, _ = _global_invariants(tree, lax.axis_size(AXX)
-                                     * lax.axis_size(AXY))
-    diag_out = {
-        "n_p2p": lax.psum(diag["n_p2p"], AXES),
-        "n_m2l": lax.psum(n_m2l, AXES),
-        "overflow": lax.pmax(overflow.astype(jnp.int32), AXES),
-        "ovf_kinds": lax.pmax(
-            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
-            | jnp.where(fdiag["overflow"], OVF_S_GHOST, 0), AXES),
-        "cost": lax.all_gather(my_cost, AXES),
-        "n_shard": lax.all_gather(jnp.sum(valid).astype(jnp.int32), AXES),
-        "n_global": n_global,
-        # far-field ring payload per stage (max over shards): surface-leaf
-        # pruning keeps this prop. to the interaction surface (VERDICT r2
-        # next-8; remotes.c:337-446 parity)
-        "ring_bytes": lax.pmax(fdiag["ring_bytes"], AXES),
-    }
-    return acc, acc_pm, diag_out
-
-
-def _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
-              use_pallas: Optional[bool] = None):
-    """Brick-local PM long-range forces (runs inside shard_map).
-
-    Patch paint -> rim fold -> 2-D pencil FFT -> ghost-plane potential ->
-    patch gradient + CIC readout: O(n^3/D) memory and collective volume
-    per device (the reference's local bounding-box meshes + owned-cell
-    exchange, partmesh.c:840-1251).
-
-    ``use_pallas``: paint/readout via the leaf-brick MXU kernels
-    (pm/brick_pallas.py) instead of XLA corner scatters/gathers -- the
-    sharded equivalent of the single-chip cic_backend switch; None
-    resolves cfg.cic_backend ('auto' = kernels on TPU, like sim.py)."""
-    if use_pallas is None:
-        use_pallas = (cfg.cic_backend == "pallas"
-                      or (cfg.cic_backend == "auto"
-                          and jax.default_backend() == "tpu"))
-    from photons_tpu.pm.brick import (expand_phi, fold_patch, gradient_patch,
-                                      paint_patch, patch_geometry,
-                                      read_patch_vector)
-    box = cfg.boxsize
-    n_side = cfg.n_side
-    dtype = pos.dtype
-    dx = lax.axis_size(AXX)
-    dy = lax.axis_size(AXY)
-    nx_loc = n_side // dx
-    ny_loc = n_side // dy
-    px = patch_geometry(n_side, dx, cfg.pm_patch_factor)
-    py = patch_geometry(n_side, dy, cfg.pm_patch_factor)
-    delta = box / n_side
-    ox = jnp.floor(xbounds[lax.axis_index(AXX)] / delta).astype(jnp.int32) - 1
-    oy = jnp.floor(ybounds[lax.axis_index(AXY)] / delta).astype(jnp.int32) - 1
-    need_x = (jnp.floor(xbounds[lax.axis_index(AXX) + 1] / delta)
-              .astype(jnp.int32) + 2 - ox)
-    need_y = (jnp.floor(ybounds[lax.axis_index(AXY) + 1] / delta)
-              .astype(jnp.int32) + 2 - oy)
-    scale = cfg.particle_mass * (n_side / box) ** 3
-    pos0 = jnp.where(valid[:, None], pos, 0.0)
-
-    if use_pallas:
-        from photons_tpu.pm.brick_pallas import (HALO, paint_patch_pallas,
-                                                 read_patch_pallas)
-        from photons_tpu.pm.cic_pallas import effective_tile
-        tile = min(effective_tile(n_side, cfg.cic_tile),
-                   ((min(px, py) + 2 * HALO) // 8) * 8)
-        # the painted buffer is the HALO-extended patch (origin -H);
-        # hops must reach its extra rim rows
-        hx_pm = (min(dx // 2, -(-(px + 2 * HALO) // nx_loc))
-                 if dx > 1 else 0)
-        hy_pm = (min(dy // 2, -(-(py + 2 * HALO) // ny_loc))
-                 if dy > 1 else 0)
-        patch_ext, blocks, cic_ovf = paint_patch_pallas(
-            pos0, valid, scale, box, n_side, ox, oy, px, py, tile,
-            cfg.leaf_size, cfg.cic_straddler_cap)
-        brick, fold_ovf = fold_patch(patch_ext, ox - HALO, oy - HALO,
-                                     n_side, hx_pm, hy_pm, AXX, AXY)
-        lost = cic_ovf
-    else:
-        hx_pm = min(dx // 2, -(-(px + 4) // nx_loc)) if dx > 1 else 0
-        hy_pm = min(dy // 2, -(-(py + 4) // ny_loc)) if dy > 1 else 0
-        patch, lost = paint_patch(pos0, valid.astype(dtype) * scale,
-                                  box, n_side, ox, oy, px, py)
-        brick, fold_ovf = fold_patch(patch, ox, oy, n_side, hx_pm, hy_pm,
-                                     AXX, AXY)
-    phi_brick = pencil_poisson_2d(brick, gf_local, AXX, AXY)
-    phi_patch, exp_bad = expand_phi(phi_brick, ox - 2, oy - 2, px + 4,
-                                    py + 4, need_x + 4, need_y + 4,
-                                    n_side, hx_pm, hy_pm, AXX, AXY)
-    grads = gradient_patch(phi_patch, box, n_side)
-    if use_pallas:
-        acc_pm = read_patch_pallas(grads, pos0, blocks, box, n_side,
-                                   ox, oy, px, py, tile)
-    else:
-        acc_pm = read_patch_vector(grads, pos0, box, n_side, ox, oy, px, py)
-    acc_pm = jnp.where(valid[:, None], acc_pm, 0.0)
-    # a patch covering the whole ring (px == n, mod-n wrap) always fits;
-    # the linear extent check only applies to genuinely partial patches
-    pm_ovf = lost | fold_ovf | exp_bad
-    if px < n_side:
-        pm_ovf |= need_x > px
-    if py < n_side:
-        pm_ovf |= need_y > py
-    return acc_pm, pm_ovf
-
-
-def _force_shard(pos, valid, xbounds, ybounds, gf_local, cfg: SimConfig,
-                 p2p_backend: str, hops_x: int, hops_y: int, ghost_cap: int):
-    """Per-shard short-range + PM forces (runs inside shard_map)."""
-    if not cfg.longshort:
-        return _force_shard_open(pos, valid, xbounds, ybounds, cfg,
-                                 p2p_backend, ghost_cap)
-    cap = pos.shape[0]
-    box = cfg.boxsize
-    dtype = pos.dtype
-    dx = lax.axis_size(AXX)
-    dy = lax.axis_size(AXY)
-    d = dx * dy
-    n_side = cfg.n_side
-    nx_loc = n_side // dx
-    ny_loc = n_side // dy
-
-    # ---- short range: ghosts + local FMM -------------------------------
-    if d == 1:
-        # one device: the min-image local tree already sees every source;
-        # a ghost buffer would only pad the tree with dead slots
-        pos_all, val_all = pos, valid
-        g_ovf = halo_bad = jnp.asarray(False)
-    else:
-        gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
-            pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
-            hops_x, hops_y, AXX, AXY)
-        pos_all = jnp.concatenate([pos, gpos])
-        val_all = jnp.concatenate([valid, gval])
-    acc_all, diag = fmm_forces(pos_all, cfg, p2p_backend=p2p_backend,
-                               valid=val_all)
-    acc = acc_all[:cap]
-
-    # ---- top tree: domain flags + global invariants ---------------------
-    # (connect_local_toptree / walk_toptree_m2l parity: the near mask is
-    # the ExtDomain[] analogue; every near domain must be a served hop).
-    # Only the shard ROOT is needed, so compute it directly from masked
-    # reductions + one p2m instead of a second full tree build.
-    from photons_tpu.ops.multipoles import p2m
-    from photons_tpu.parallel.toptree import toptree_far_field
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    pmin = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
-    pmax = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    n_local = jnp.sum(valid)
-    root_center = jnp.where(n_local > 0, 0.5 * (pmin + pmax), 0.0)
-    root_width = jnp.where(n_local > 0, pmax - pmin, 0.0)
-    root_m = p2m(pos - root_center,
-                 jnp.where(valid, cfg.particle_mass, 0.0).astype(dtype))
-
-    class _Root:
-        centers = (root_center[None, :],)
-        widths = (root_width[None, :],)
-        counts = (n_local[None],)
-        moments = (root_m[None, :],)
-
-    _, near_mask, _ = toptree_far_field(
-        _Root, AXES, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
-    n_global, mass_global = _global_invariants(_Root, d)
-    ix = lax.axis_index(AXX)
-    iy = lax.axis_index(AXY)
-    rx = jnp.arange(d) // dy
-    ry = jnp.arange(d) % dy
-    hx = jnp.minimum((rx - ix) % dx, (ix - rx) % dx)
-    hy = jnp.minimum((ry - iy) % dy, (iy - ry) % dy)
-    unserved_near = jnp.any(near_mask & ((hx > hops_x) | (hy > hops_y)))
-    halo_bad = halo_bad | unserved_near
-
-    acc_pm, pm_ovf = _pm_shard(pos, valid, xbounds, ybounds, gf_local, cfg)
-
-    # ---- diagnostics (replicated scalars) -------------------------------
-    my_cost = (diag["n_p2p"] + diag["n_m2l"]).astype(jnp.float32)
-    cost = lax.all_gather(my_cost, AXES)                   # (Dx*Dy,)
-    # TreePM ring payload = the packed boundary-skin buffer per hop
-    # (parallel/halo.py carries pos + validity in one (cap, 4) array)
-    skin_bytes = ghost_cap * 4 * jnp.dtype(dtype).itemsize
-    diag_out = {
-        "n_p2p": lax.psum(diag["n_p2p"], AXES),
-        "n_m2l": lax.psum(diag["n_m2l"], AXES),
-        "overflow": lax.pmax(
-            (diag["overflow"] | g_ovf | halo_bad | pm_ovf).astype(jnp.int32),
-            AXES),
-        "ovf_kinds": lax.pmax(
-            jnp.where(diag["overflow"], OVF_S_TRAV, 0)
-            | jnp.where(g_ovf | halo_bad, OVF_S_GHOST, 0)
-            | jnp.where(pm_ovf, OVF_S_PM, 0), AXES),
-        "cost": cost,
-        "n_shard": lax.all_gather(n_local.astype(jnp.int32), AXES),
-        "n_global": n_global,
-        "ring_bytes": jnp.asarray(min(skin_bytes, 2**31 - 1), jnp.int32),
-    }
-    return acc, acc_pm, diag_out
+from photons_tpu.ops.fmm_engine import fmm_forces
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
@@ -460,17 +74,6 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
             "pure-Newtonian periodic multi-chip is unsupported: the ghost "
             "zone and far-field M2L are not wrap-aware; use longshort=True "
             "(TreePM, min-image near field + periodic PM) or periodic=False")
-    from photons_tpu.pm.solver import interlace_mode
-    if cfg.longshort and interlace_mode(cfg.pm_interlace) != "off":
-        # the brick/pencil PM does not implement interlaced readout yet
-        # (the phase factorizes per pencil axis, so it is implementable;
-        # NEXT.md round-6).  Say so ONCE rather than silently diverging
-        # from the single-chip numerics.
-        import sys
-        print("photoNs-TPU: sharded PM ignores pm_interlace="
-              f"{cfg.pm_interlace!r} (single-chip-only this round; the "
-              "sharded gradient also remains real-space fd4)",
-              file=sys.stderr, flush=True)
     dtype = jnp.dtype(cfg.dtype)
     grav = cfg.grav_const
     box = cfg.boxsize
@@ -484,18 +87,10 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
                    max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
     hops_x, hops_y = hops(dx), hops(dy)
 
-    if cfg.longshort:
-        gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
-                                          dtype, dy)
-        gf_spec = P(None, AXX, AXY)
-    else:
-        gf_full = jnp.zeros((1,), dtype)        # unused placeholder
-        gf_spec = P()
-
     shard = P(AXES)
     rep = P()
 
-    def body(pos, vel, acc, acc_pm, valid, xb, yb, gf_local, dk, dd, a_next):
+    def body(pos, vel, acc, acc_pm, valid, xb, yb, dk, dd, a_next):
         cap = pos.shape[0]
         ghost_cap = int(cap * cfg.ghost_cap_factor)
         dkh = 0.5 * dk * grav
@@ -514,7 +109,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
                 send_cap=int(cap * cfg.send_cap_factor), ax=AXX, ay=AXY)
 
         acc, acc_pm, diag = _force_shard(
-            pos, valid, xb, yb, gf_local, cfg, p2p_backend,
+            pos, valid, xb, yb, cfg, p2p_backend,
             hops_x, hops_y, ghost_cap)
         vel = vel + (acc + acc_pm) * dkh
 
@@ -538,7 +133,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     smapped = shard_map(
         body, mesh=mesh,
         in_specs=(shard, shard, shard, shard, shard, rep, rep,
-                  gf_spec, rep, rep, rep),
+                  rep, rep, rep),
         out_specs=(shard, shard, shard, shard, shard, rep, rep,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep,
                     "ovf_kinds": rep, "cost": rep, "n_shard": rep,
@@ -549,7 +144,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     def step(state: ShardedState, dk, dd, a_next):
         pos, vel, acc, acc_pm, valid, xb, yb, diag = smapped(
             state.pos, state.vel, state.acc, state.acc_pm, state.valid,
-            state.xbounds, state.ybounds, gf_full,
+            state.xbounds, state.ybounds,
             jnp.asarray(dk, dtype), jnp.asarray(dd, dtype),
             jnp.asarray(a_next, dtype))
         return ShardedState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
@@ -558,11 +153,11 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
 
     # initial force computation (before the first kick, photoNs.c:95-132)
     forces_mapped = shard_map(
-        lambda pos, valid, xb, yb, gf_local: _force_shard(
-            pos, valid, xb, yb, gf_local, cfg, p2p_backend, hops_x, hops_y,
+        lambda pos, valid, xb, yb: _force_shard(
+            pos, valid, xb, yb, cfg, p2p_backend, hops_x, hops_y,
             int(pos.shape[0] * cfg.ghost_cap_factor)),
         mesh=mesh,
-        in_specs=(shard, shard, rep, rep, gf_spec),
+        in_specs=(shard, shard, rep, rep),
         out_specs=(shard, shard,
                    {"n_p2p": rep, "n_m2l": rep, "overflow": rep,
                     "ovf_kinds": rep, "cost": rep, "n_shard": rep,
@@ -572,8 +167,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
     @jax.jit
     def initial_forces(state: ShardedState):
         acc, acc_pm, diag = forces_mapped(state.pos, state.valid,
-                                          state.xbounds, state.ybounds,
-                                          gf_full)
+                                          state.xbounds, state.ybounds)
         return dataclasses.replace(state, acc=acc, acc_pm=acc_pm), diag
 
     return step, initial_forces
@@ -598,10 +192,6 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
     if not cfg.longshort or not cfg.periodic:
         raise NotImplementedError(
             "sharded block timesteps: TreePM (longshort+periodic) only")
-    gf_full = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
-                                     dtype, dy)
-    gf_spec = P(None, AXX, AXY)
-
     def hops(n_axis):
         if n_axis == 1:
             return 0
@@ -635,7 +225,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
         in_specs=(shard,) * 6 + (rep, rep, rep, rep),
         out_specs=(shard,) * 6 + (rep, rep), check_rep=False)
 
-    def sub_body(pos, vel, acc, acc_pm, valid, levels, xb, yb, gf_local,
+    def sub_body(pos, vel, acc, acc_pm, valid, levels, xb, yb,
                  dkh_open, dd, dkh_close, closing, with_pm: bool):
         """One fine substep: gated open kick -> drift -> gated near-field
         force refresh (+ PM on the macro close) -> gated close kick."""
@@ -657,7 +247,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
                                    valid=val_all, active=act_all)
         acc = jnp.where(active[:, None], acc_new[:cap], acc)
         if with_pm:
-            acc_pm, pm_ovf = _pm_shard(pos, valid, xb, yb, gf_local, cfg)
+            acc_pm, pm_ovf = _pm_shard(pos, valid, xb, yb, cfg)
         else:
             pm_ovf = jnp.asarray(False)
         vel = vel + (acc + acc_pm) * (dkh_close[levels] * grav)[:, None]
@@ -680,7 +270,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
     def _mapped(with_pm):
         return shard_map(
             partial(sub_body, with_pm=with_pm), mesh=mesh,
-            in_specs=(shard,) * 6 + (rep, rep, gf_spec, rep, rep, rep, rep),
+            in_specs=(shard,) * 6 + (rep, rep, rep, rep, rep, rep),
             out_specs=(shard,) * 4 + (diag_spec,), check_rep=False)
 
     sub_plain = _mapped(False)
@@ -702,7 +292,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
                    closing):
             pos, vel, acc, acc_pm, diag = mapped(
                 state.pos, state.vel, state.acc, state.acc_pm, state.valid,
-                levels, state.xbounds, state.ybounds, gf_full,
+                levels, state.xbounds, state.ybounds,
                 jnp.asarray(dkh_open, dtype), jnp.asarray(dd, dtype),
                 jnp.asarray(dkh_close, dtype), jnp.asarray(closing))
             return dataclasses.replace(state, pos=pos, vel=vel, acc=acc,
@@ -712,482 +302,9 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
     return open_fn, _make_sub(sub_plain), _make_sub(sub_pm)
 
 
-class ShardCapacityError(RuntimeError):
-    """A sharded static capacity overflowed; ``kinds`` is the OVF_S_*
-    bitmask naming which (0 = unknown -> grow everything)."""
-
-    def __init__(self, msg: str, kinds: int = 0):
-        super().__init__(msg)
-        self.kinds = kinds
 
 
-@dataclasses.dataclass
-class ShardedSimulation:
-    """Multi-chip driver: owns the mesh, sharded state, and the step fn."""
-
-    cfg: SimConfig
-    mesh: Mesh
-    state: ShardedState
-    p2p_backend: str = "jnp"
-    recoveries: int = 0
-
-    def __post_init__(self):
-        self.mesh = as_grid_mesh(self.mesh, self.cfg)
-        self._step, self._init_forces = make_sharded_step(
-            self.cfg, self.mesh, self.p2p_backend)
-        self.n_total = int(np.asarray(self.state.valid).sum())
-
-    def occupancy(self):
-        """Per-shard fill fractions n_valid/cap of the padded state (the
-        knob shard_capacity_factor pays for; logged by the dryrun so the
-        d>1 padding tax is visible without hardware)."""
-        d = int(self.mesh.devices.size)
-        valid = np.asarray(self.state.valid).reshape(d, -1)
-        return valid.sum(axis=1) / valid.shape[1]
-
-    def _recover(self, kinds: int, prev_state: ShardedState):
-        """Sharded elastic recovery: gather the last-good state to host,
-        grow ONLY the tripped capacity knobs (x1.5), redistribute into
-        fresh padded shards, rebuild the step executables, and recompute
-        forces (pure in positions, so the rolled-back physics is exact).
-
-        The reference sizes capacities up-front and aborts on overflow
-        (pmalloc, utility.c:87-90); here the 1.25x default padding plus
-        this recovery replaces round-3's hard 2x shape padding (VERDICT
-        r3 next-7)."""
-        self.recoveries += 1
-        cfg = self.cfg
-        if kinds == 0:
-            kinds = OVF_S_TRAV | OVF_S_GHOST | OVF_S_PM | OVF_S_MIG
-
-        def up(v):
-            return -(-int(v * 1.5) // 32) * 32
-        grew = []
-        if kinds & OVF_S_TRAV:
-            levels = cfg.open_cap_levels
-            cfg = cfg.replace(
-                open_cap_per_node=up(cfg.open_cap_per_node),
-                m2l_cap_per_node=up(cfg.m2l_cap_per_node),
-                p2p_neighbor_cap=up(cfg.p2p_neighbor_cap),
-                open_cap_levels=tuple(up(v) for v in levels)
-                if levels is not None else None)
-            grew.append(f"traversal caps -> {cfg.open_cap_per_node}/"
-                        f"{cfg.m2l_cap_per_node}/{cfg.p2p_neighbor_cap}")
-        if kinds & OVF_S_GHOST:
-            cfg = cfg.replace(ghost_cap_factor=cfg.ghost_cap_factor * 1.5)
-            grew.append(f"ghost_cap_factor -> {cfg.ghost_cap_factor:.2f}")
-        if kinds & OVF_S_PM:
-            cfg = cfg.replace(pm_patch_factor=cfg.pm_patch_factor * 1.5)
-            grew.append(f"pm_patch_factor -> {cfg.pm_patch_factor:.2f}")
-        if kinds & OVF_S_MIG:
-            cfg = cfg.replace(
-                shard_capacity_factor=cfg.shard_capacity_factor * 1.5,
-                send_cap_factor=cfg.send_cap_factor * 1.5)
-            grew.append(f"shard_capacity_factor -> "
-                        f"{cfg.shard_capacity_factor:.2f}")
-        import sys
-        print(f"photoNs-TPU: sharded capacity recovery #{self.recoveries} "
-              f"(kinds={kinds:#x}): {'; '.join(grew)}",
-              file=sys.stderr, flush=True)
-        pos, vel, a = gather_state(prev_state)
-        self.cfg = cfg
-        self.state = make_sharded_state(cfg, self.mesh, pos, vel, a)
-        self.__post_init__()
-        # forces are pure in positions: recomputing restores the exact
-        # pre-step dynamical state in the new shard layout
-        self.state, diag = self._init_forces(self.state)
-        self._check(diag)
-
-    @classmethod
-    def from_arrays(cls, cfg: SimConfig, mesh: Mesh, pos, vel,
-                    a: Optional[float] = None, p2p_backend: str = "jnp"):
-        mesh = as_grid_mesh(mesh, cfg)
-        state = make_sharded_state(cfg, mesh, pos, vel,
-                                   a if a is not None
-                                   else cfg.initial_scale_factor)
-        return cls(cfg=cfg, mesh=mesh, state=state, p2p_backend=p2p_backend)
-
-    @classmethod
-    def from_config(cls, cfg: SimConfig, mesh: Mesh,
-                    p2p_backend: str = "jnp"):
-        """Reference multi-rank entry path: every shard reads only its own
-        particle slice of the IC file (read_Particle_Gadget2
-        snapshot.c:211-293, even split initial.c:359-369) via the native
-        sliced reader, then spatial binning plays domain_decomposition.
-
-        SnapFormat -2 generates uniform ICs instead (initial.c:567-627)."""
-        mesh = as_grid_mesh(mesh, cfg)
-        d = int(mesh.devices.size)
-        if cfg.snap_format == -2:
-            from photons_tpu.ics import ic_uniform
-            pos, vel = ic_uniform(cfg)
-            a0 = cfg.initial_scale_factor
-        else:
-            from photons_tpu.io.gadget import read_gadget, read_gadget_header
-            head = read_gadget_header(cfg.input_path)
-            cfg = cfg.replace(
-                boxsize=head.boxsize, omega_m=head.omega_m,
-                omega_x=head.omega_x, hubble=head.hubble,
-                initial_redshift=head.redshift,
-                n_part_total=head.n_total, mass_part=head.mass[1])
-            a0 = 1.0 / (1.0 + head.redshift)
-            n = head.n_total
-            try:
-                from photons_tpu.native import native_read_gadget_slice
-                # per-shard sliced reads (each rank touches only its range;
-                # native/gadget_io.cpp:49-74) -- raw Gadget velocities, so
-                # apply the a^1.5 internal unit here (snapshot.c:261)
-                parts = []
-                for s in range(d):
-                    start = s * n // d
-                    cnt = (s + 1) * n // d - start
-                    parts.append(native_read_gadget_slice(
-                        cfg.input_path, n, start, cnt))
-                pos = np.concatenate([p for p, _ in parts])
-                vel = np.concatenate([v for _, v in parts]) * a0**1.5
-            except (RuntimeError, OSError):    # native lib unavailable
-                _, pos, vel = read_gadget(cfg.input_path, cfg.snap_number)
-        return cls.from_arrays(cfg, mesh, pos, vel, a=a0,
-                               p2p_backend=p2p_backend)
-
-    def run(self, n_steps: int, a_final: float,
-            snapshot_times=None, log: bool = False,
-            checkpoint_path: Optional[str] = None,
-            checkpoint_interval: Optional[int] = None,
-            profile_interval: Optional[int] = 8):
-        """Multi-chip KDK loop with per-rank IO parity: per-shard Gadget
-        snapshots (snapshot.c:538-549), native checkpoints, and a per-step
-        RunLog row with the measured load imbalance (photoNs.c:297-318).
-
-        Step wall-clock is honest: ``_check`` host-reads the diagnostics
-        each step, which fences the dispatched computation.
-
-        With ``log=True`` the rows carry the reference's full phase-timer
-        column set (utility.c:8-27): a ShardedPhaseProfiler refreshes the
-        pm/fmm/p2p/m2l/ext columns every ``profile_interval`` steps
-        (TreePM engine; the open-boundary far-field scan has no phase
-        cuts, so those runs log wall/imbalance/counts only)."""
-        import time
-
-        from photons_tpu import cosmology
-        from photons_tpu.diagnostics import imbalance as _imbalance
-        from photons_tpu.utils.logging import RunLog
-        from photons_tpu.utils.timers import PhaseTimers
-
-        run_log = (RunLog(self.cfg.output_path, self.cfg.code_proj)
-                   if log else None)
-        snap_left = sorted(snapshot_times or ())
-
-        profiler = None
-        timers = PhaseTimers()
-        if run_log is not None and profile_interval and self.cfg.longshort:
-            from photons_tpu.profiling import ShardedPhaseProfiler
-            profiler = ShardedPhaseProfiler(self.cfg, self.mesh,
-                                            self.p2p_backend)
-            run_log.note(f"phase columns: profiled every "
-                         f"{profile_interval} steps (differenced prefix "
-                         f"programs; see profiling.ShardedPhaseProfiler)")
-
-        a0 = float(self.state.a)
-        dk, dd = cosmology.step_factors(a0, a_final, n_steps,
-                                        self.cfg.omega_m, self.cfg.omega_x)
-        loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
-        max_recoveries = 6
-        for _ in range(max_recoveries + 1):
-            try:
-                self.state, diag = self._init_forces(self.state)
-                self._check(diag)
-                break
-            except ShardCapacityError as e:
-                if self.recoveries >= max_recoveries:
-                    raise
-                self._recover(e.kinds, self.state)
-        if profiler is not None:
-            try:
-                profiler.warm(self.state)
-            except Exception as exc:
-                run_log.note(f"WARNING: phase profiler failed to build "
-                             f"({type(exc).__name__}); phase columns zero")
-                profiler = None
-        for i in range(n_steps):
-            t0 = time.perf_counter()
-            a_now = float(np.exp(loga[i + 1]))
-            prev = self.state
-            while True:
-                try:
-                    self.state, diag = self._step(prev, float(dk[i]),
-                                                  float(dd[i]), a_now)
-                    self._check(diag)            # host-read: completion fence
-                    break
-                except ShardCapacityError as e:
-                    # the overflowing step's outputs are invalid: roll back
-                    # to the pre-step state, grow the tripped knobs,
-                    # redistribute, and replay this step
-                    if self.recoveries >= max_recoveries:
-                        raise
-                    self._recover(e.kinds, prev)
-                    prev = self.state
-                    if run_log is not None:
-                        run_log.note(
-                            f"# capacity recovery (kinds="
-                            f"{e.kinds:#x}): step {i} replayed on the "
-                            f"regrown layout")
-            wall = time.perf_counter() - t0
-            if profiler is not None and i % profile_interval == 0:
-                try:
-                    profiler.profile(self.state, timers)
-                except Exception as exc:
-                    run_log.note(f"WARNING: phase profile failed at step "
-                                 f"{i} ({type(exc).__name__}); columns "
-                                 f"stale from the last successful profile")
-            if run_log is not None:
-                run_log.log_step(
-                    i, a_now, {**timers.latest(), "step": wall},
-                    imbalance=_imbalance(self.last_diag["cost"]),
-                    n_p2p=int(self.last_diag["n_p2p"]),
-                    n_m2l=int(self.last_diag["n_m2l"]),
-                    level=getattr(self, "max_adaptive_level", 0))
-            while snap_left and a_now >= snap_left[0] - 1e-12:
-                self.write_snapshot(snap_left.pop(0))
-            if (checkpoint_interval and checkpoint_path
-                    and (i + 1) % checkpoint_interval == 0):
-                self.write_checkpoint(checkpoint_path)
-        return self.state
-
-    def run_block(self, n_steps: int, a_final: float, eta: float = 0.025,
-                  max_level: int = 6):
-        """Per-particle block-KDK macro loop on the device mesh (the
-        sharded counterpart of Simulation.run(adaptive='block');
-        kdk_level/active_particle surface, inc/adaptive.h:12-20).
-
-        Each macro step: migrate (levels ride the all_to_all) + assign
-        per-particle levels from the opening forces, then 2^level_max fine
-        substeps where only shards' closing kernel rows compute forces;
-        PM refreshes on the macro cadence."""
-        from photons_tpu import cosmology
-
-        open_fn, sub_plain, sub_pm = make_sharded_block_fns(
-            self.cfg, self.mesh, self.p2p_backend, max_level)
-        om, ox = self.cfg.omega_m, self.cfg.omega_x
-        kf = lambda a, b: float(cosmology.kick_factor(a, b, om, ox))
-        dtype = jnp.dtype(self.cfg.dtype)
-
-        a0 = float(self.state.a)
-        loga = np.linspace(np.log(a0), np.log(a_final), n_steps + 1)
-        self.state, diag = self._init_forces(self.state)
-        self._check(diag)
-        d = int(self.mesh.devices.size)
-        cap = self.state.valid.shape[0]
-        levels = jax.device_put(
-            jnp.zeros((cap,), jnp.int32),
-            jax.sharding.NamedSharding(self.mesh, P(AXES)))
-        self.max_adaptive_level = 0
-        for i in range(n_steps):
-            l0, l1 = float(loga[i]), float(loga[i + 1])
-            tau = kf(l0, l1)
-            self.state, levels, level_max, mig_ovf = open_fn(
-                self.state, levels, tau, eta)
-            if int(np.asarray(mig_ovf)):
-                raise RuntimeError("block-step migration overflow -- "
-                                   "enlarge send_cap_factor")
-            level_max = int(np.asarray(level_max))
-            self.max_adaptive_level = max(self.max_adaptive_level, level_max)
-            self.last_levels = np.asarray(levels)
-            nf = 1 << level_max
-            sub = np.linspace(l0, l1, nf + 1)
-            blocks = [1 << max(level_max - l, 0)
-                      for l in range(max_level + 1)]
-            for j in range(nf):
-                dkh_open = np.asarray(
-                    [0.5 * kf(sub[j], sub[j + b]) if j % b == 0 else 0.0
-                     for b in blocks], dtype)
-                dd = float(cosmology.drift_factor(sub[j], sub[j + 1],
-                                                  om, ox))
-                closing = np.array([(j + 1) % b == 0 for b in blocks])
-                dkh_close = np.asarray(
-                    [0.5 * kf(sub[j + 1 - b], sub[j + 1])
-                     if (j + 1) % b == 0 else 0.0 for b in blocks], dtype)
-                fn = sub_pm if j == nf - 1 else sub_plain
-                self.state, diag = fn(self.state, levels, dkh_open, dd,
-                                      dkh_close, closing)
-            self.state = dataclasses.replace(
-                self.state, a=jnp.asarray(float(np.exp(l1)), dtype))
-            self._check(diag)
-        return self.state
-
-    def _check(self, diag):
-        self.last_diag = {k: np.asarray(v) for k, v in diag.items()}
-        if int(self.last_diag["overflow"]):
-            raise ShardCapacityError(
-                "sharded-step capacity overflow (traversal caps, ghost/send "
-                "capacity, or shard capacity)",
-                kinds=int(self.last_diag.get("ovf_kinds", 0)))
-        # global invariant from the domain tree (walk_toptree_m2m parity):
-        # the binary-tree root count must equal the number of particles we
-        # started with -- catches silent drops the overflow flags missed
-        n_global = self.last_diag.get("n_global")
-        expected = getattr(self, "n_total", None)
-        if n_global is not None and expected is not None \
-                and int(n_global) != expected:
-            raise RuntimeError(
-                f"domain-tree particle count {int(n_global)} != {expected}: "
-                "particles lost or duplicated across shards")
-
-    # -- observables ---------------------------------------------------------
-    def power_spectrum(self, n_bins: int = 0, deconvolve: bool = True):
-        """Sharded matter P(k): brick paint -> pencil FFT -> binned |dk|^2
-        with one psum -- no host gather of particles (diagnostics.
-        power_spectrum parity, computed where the particles live)."""
-        from photons_tpu.parallel.observables import pencil_power_spectrum
-        from photons_tpu.pm.brick import (fold_patch, paint_patch,
-                                          patch_geometry)
-
-        cfg = self.cfg
-        mesh = self.mesh
-        dx, dy = mesh.devices.shape
-        n = cfg.n_side
-        if n_bins <= 0:
-            n_bins = n // 2
-        delta_cell = cfg.boxsize / n
-        # patch extents from the CURRENT bounds, not the uniform-brick
-        # assumption: quantile initial splits / rebalanced bounds give
-        # sparse regions WIDE bricks (wider than pm_patch_factor x
-        # uniform), and a too-small static patch silently dropped their
-        # mass before round 4 (the per-shard lost flag was also never
-        # reduced -- see the pmax below).  This is a host-driven
-        # observable, so sizing from the live bounds just recompiles when
-        # the layout changed.
-        def _span(bounds, d_axis):
-            if d_axis == 1:
-                return n
-            b = np.asarray(bounds)
-            return min(n, int(np.ceil(np.diff(b).max() / delta_cell)) + 5)
-        px = max(patch_geometry(n, dx, cfg.pm_patch_factor),
-                 _span(self.state.xbounds, dx))
-        py = max(patch_geometry(n, dy, cfg.pm_patch_factor),
-                 _span(self.state.ybounds, dy))
-        hx = min(dx // 2, -(-(px + 4) // (n // dx))) if dx > 1 else 0
-        hy = min(dy // 2, -(-(py + 4) // (n // dy))) if dy > 1 else 0
-        dtype = jnp.dtype(cfg.dtype)
-
-        def fn(pos, valid, xb, yb):
-            ox = jnp.floor(xb[lax.axis_index(AXX)] / delta_cell).astype(
-                jnp.int32) - 1
-            oy = jnp.floor(yb[lax.axis_index(AXY)] / delta_cell).astype(
-                jnp.int32) - 1
-            patch, lost = paint_patch(
-                jnp.where(valid[:, None], pos, 0.0), valid.astype(dtype),
-                cfg.boxsize, n, ox, oy, px, py)
-            brick, fovf = fold_patch(patch, ox, oy, n, hx, hy, AXX, AXY)
-            mean = lax.psum(jnp.sum(valid), (AXX, AXY)) / jnp.asarray(
-                float(n) ** 3, dtype)
-            delta = brick / mean - 1.0
-            ks, ps, nm = pencil_power_spectrum(delta, n, n_bins, AXX, AXY,
-                                               deconvolve=deconvolve)
-            # the overflow is per-shard: REDUCE it, or shard 0's False
-            # masks another shard's lost mass (the silent-truncation bug
-            # that hid the wide-brick patch shortfall until round 4)
-            ovf = lax.pmax((lost | fovf).astype(jnp.int32), (AXX, AXY))
-            return ks, ps, nm, ovf
-
-        smap = shard_map(
-            fn, mesh=mesh, in_specs=(P(AXES), P(AXES), P(), P()),
-            out_specs=(P(), P(), P(), P()), check_rep=False)
-        ks, ps, nm, ovf = jax.jit(smap)(
-            self.state.pos, self.state.valid, self.state.xbounds,
-            self.state.ybounds)
-        if bool(np.asarray(ovf)):
-            raise RuntimeError("P(k) brick paint capacity overflow -- raise "
-                               "pm_patch_factor")
-        ks, ps, nm = (np.asarray(x, np.float64) for x in (ks, ps, nm))
-        good = nm > 0
-        kf = 2.0 * np.pi / cfg.boxsize
-        norm = cfg.boxsize**3 / float(n) ** 6
-        return (ks[good] / nm[good] * kf, ps[good] / nm[good] * norm,
-                nm[good])
-
-    # -- IO ------------------------------------------------------------------
-    def write_snapshot(self, a_tag: Optional[float] = None):
-        """Per-shard Gadget-2 snapshots ``<Out>/<Name>_<t>.<shard>``
-        (write_snapshot, snapshot.c:538-549: one file per rank holding its
-        own particles).  ``io.gadget.read_gadget(base, D)`` reassembles."""
-        import os
-
-        from photons_tpu.io.gadget import GadgetHeader, write_gadget
-
-        cfg = self.cfg
-        d = self.mesh.devices.size
-        cap = self.state.valid.shape[0] // d
-        a_now = float(self.state.a)
-        z = 1.0 / a_now - 1.0
-        pos = np.asarray(self.state.pos)
-        vel = np.asarray(self.state.vel)
-        valid = np.asarray(self.state.valid)
-        n_total = int(valid.sum())
-        tag = a_tag if a_tag is not None else a_now
-        os.makedirs(cfg.output_path, exist_ok=True)
-        base = os.path.join(cfg.output_path,
-                            f"{cfg.output_name}_{tag:.4f}")
-        for s in range(d):
-            sel = valid[s * cap:(s + 1) * cap]
-            head = GadgetHeader(
-                npart=(0, int(sel.sum()), 0, 0, 0, 0),
-                npart_total=(0, n_total, 0, 0, 0, 0),
-                mass=(0.0, cfg.particle_mass, 0.0, 0.0, 0.0, 0.0),
-                time=a_now, redshift=z, boxsize=cfg.boxsize,
-                omega_m=cfg.omega_m, omega_x=cfg.omega_x,
-                hubble=cfg.hubble, num_files=d)
-            write_gadget(f"{base}.{s}", head,
-                         pos[s * cap:(s + 1) * cap][sel],
-                         vel[s * cap:(s + 1) * cap][sel])
-        return base
-
-    def write_checkpoint(self, path: str):
-        """Lossless native checkpoint of the full sharded state (incl.
-        validity mask and grid lines) -- one file per shard, like the
-        reference's per-rank writes."""
-        import types
-
-        from photons_tpu.io.checkpoint import save_checkpoint
-
-        d = self.mesh.devices.size
-        cap = self.state.valid.shape[0] // d
-        host = {k: np.asarray(getattr(self.state, k))
-                for k in ("pos", "vel", "acc", "acc_pm", "valid")}
-        xb = np.asarray(self.state.xbounds)
-        yb = np.asarray(self.state.ybounds)
-        a = np.asarray(self.state.a)
-        files = []
-        for s in range(d):
-            sl = slice(s * cap, (s + 1) * cap)
-            shard_state = types.SimpleNamespace(
-                **{k: v[sl] for k, v in host.items()},
-                xbounds=xb, ybounds=yb, a=a)
-            files.append(save_checkpoint(path, self.cfg, shard_state,
-                                         shard=s))
-        return files
-
-    @classmethod
-    def resume_from_checkpoint(cls, path: str, mesh: Mesh,
-                               p2p_backend: str = "jnp"):
-        """Rebuild a ShardedSimulation from per-shard checkpoint files.
-
-        The mesh size may differ from the writing run's: particles are
-        re-binned into the new mesh's bricks."""
-        from photons_tpu.io.checkpoint import load_checkpoint
-
-        cfg, arr0 = load_checkpoint(path, shard=0)
-        pos, vel = [arr0["pos"][arr0["valid"]]], [arr0["vel"][arr0["valid"]]]
-        s = 1
-        while True:
-            try:
-                _, arr = load_checkpoint(path, shard=s)
-            except FileNotFoundError:
-                break
-            pos.append(arr["pos"][arr["valid"]])
-            vel.append(arr["vel"][arr["valid"]])
-            s += 1
-        mesh = as_grid_mesh(mesh, cfg)
-        state = make_sharded_state(cfg, mesh, np.concatenate(pos),
-                                   np.concatenate(vel), float(arr0["a"]))
-        return cls(cfg=cfg, mesh=mesh, state=state, p2p_backend=p2p_backend)
+# driver re-exports (import at the end: sharded_sim imports the step
+# builders above)
+from photons_tpu.parallel.sharded_sim import (ShardCapacityError,  # noqa: E402
+                                              ShardedSimulation)

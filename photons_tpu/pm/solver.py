@@ -218,12 +218,18 @@ def irfft3(xk, n: int, dtype):
 def interlace_mode(interlace) -> str:
     """Normalize an interlace knob to 'off' / 'read' / 'full'.
 
-    Accepts the config string or a legacy bool (True == 'full')."""
+    Accepts the config string or a legacy bool (True == 'full').  Any
+    other value raises: a typo ('READ', 'on') must not silently disable
+    interlacing (ADVICE round 4)."""
     if interlace is True:
         return "full"
-    if interlace in ("read", "full"):
+    if interlace is False or interlace is None:
+        return "off"
+    if interlace in ("off", "read", "full"):
         return str(interlace)
-    return "off"
+    raise ValueError(
+        f"pm_interlace must be one of 'off'/'read'/'full' (or bool), "
+        f"got {interlace!r}")
 
 
 def interlace_phase_mul(xk, n_side: int):

@@ -244,7 +244,6 @@ class ShardedPhaseProfiler:
         from photons_tpu.ops.fmm_engine import (apply_m2l, downward_l2l,
                                                 leaf_l2p, p2p_jnp)
         from photons_tpu.ops.traversal import dual_tree_traversal
-        from photons_tpu.parallel.fft import green_function_pencil2d
         from photons_tpu.parallel.halo import gather_ghosts_2d
         from photons_tpu.parallel.step import (AXES, AXX, AXY, _pm_shard,
                                                shard_map)
@@ -265,9 +264,6 @@ class ShardedPhaseProfiler:
         hops_x, hops_y = hops(dx), hops(dy)
 
         dtype = jnp.dtype(cfg.dtype)
-        self._gf = green_function_pencil2d(cfg.n_side, box, cfg.split_radius,
-                                           dtype, dy)
-        gf_spec = P(None, AXX, AXY)
         shard, rep = P(AXES), P()
         rs = cfg.split_radius
         pbox = box if cfg.periodic else None
@@ -316,12 +312,12 @@ class ShardedPhaseProfiler:
 
         self._prefix_fns = [prefix(k) for k in range(len(self._STAGES))]
 
-        def pm_shard_fn(pos, valid, xb, yb, gf_local):
-            acc_pm, _ = _pm_shard(pos, valid, xb, yb, gf_local, cfg)
+        def pm_shard_fn(pos, valid, xb, yb):
+            acc_pm, _ = _pm_shard(pos, valid, xb, yb, cfg)
             return jnp.sum(acc_pm[:, 0]).reshape(1)
         self._pm_fn = jax.jit(shard_map(
             pm_shard_fn, mesh=mesh,
-            in_specs=(shard, shard, rep, rep, gf_spec),
+            in_specs=(shard, shard, rep, rep),
             out_specs=P(AXES), check_rep=False))
         self._built_for = cap
 
@@ -351,6 +347,6 @@ class ShardedPhaseProfiler:
         timers.add("fmm", spans[-1])
         t0 = _t.perf_counter()
         out = self._pm_fn(state.pos, state.valid, state.xbounds,
-                          state.ybounds, self._gf)
+                          state.ybounds)
         _fence(out)
         timers.add("pm", _t.perf_counter() - t0)

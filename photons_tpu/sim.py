@@ -89,6 +89,7 @@ def make_force_fn(cfg: SimConfig, engine: str = "pm") -> ForceFn:
                 deconvolve=not cfg.pm_only, dtype=dtype)
             return pm_accel(pos, gf, mass=mass, boxsize=cfg.boxsize,
                             n_side=cfg.n_side,
+                            gradient=cfg.pm_gradient,
                             interlace="off" if cfg.pm_only
                             else cfg.pm_interlace)
     else:
@@ -227,12 +228,22 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
         # between step invocations), so it always takes the split path
         return _make_step_fn_split(cfg, force_fn)
 
+    # HBM-frugal stepping (cfg.frugal): donate the incoming state pytree.
+    # The fused step is ONE program, so donation lets XLA free the dead
+    # post-kick acc/acc_pm/vel buffers mid-program instead of holding all
+    # of them live until the dispatch returns -- at 512^3 that is the
+    # difference between a ~10 GB resident floor and a ~4 GB one (measured
+    # round-4 runtime OOM).  The run loop pairs this with a HOST-side
+    # rollback state: donation invalidates every alias of the old state,
+    # so the elastic-recovery checkpoint cannot share device buffers.
+    donate = (0,) if cfg.frugal else ()
+
     if getattr(force_fn, "sorted", False):
         # sorted-state stepping: the force engine returns everything in the
         # tree's space-filling-curve order plus the perm that maps sorted
         # slot -> input slot; vel/ids follow by a gather (a TPU row gather
         # is ~10x cheaper than the unsort scatter this replaces)
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def step(state: SimState, dk, dd, a_next):
             dkh = 0.5 * dk * grav
             vel = state.vel + (state.acc + state.acc_pm) * dkh
@@ -246,9 +257,10 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
                             a=jnp.asarray(a_next, pos_s.dtype),
                             ids=ids), diag
 
+        step.donates = bool(donate)
         return step
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=donate)
     def step(state: SimState, dk, dd, a_next):
         dkh = 0.5 * dk * grav
         vel = state.vel + (state.acc + state.acc_pm) * dkh
@@ -260,6 +272,7 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
         return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                         a=jnp.asarray(a_next, state.pos.dtype)), diag
 
+    step.donates = bool(donate)
     return step
 
 
@@ -428,9 +441,22 @@ class Simulation:
     recoveries: int = 0
 
     def __post_init__(self):
+        # capacity recovery re-runs this: drop the cached initial-force
+        # program (it closes over the old force fn / cap geometry)
+        if hasattr(self, "_initial_fused"):
+            del self._initial_fused
         self._force_fn = make_force_fn(self.cfg, self.engine)
         self._step_fn = make_step_fn(self.cfg, self._force_fn)
-        self._force_jit = jax.jit(self._force_fn)
+        # frugal sorted runs donate pos into the initial force program:
+        # the sorted engine returns a fresh pos_s anyway, so the unsorted
+        # input is dead the moment the program has consumed it (1.6 GB of
+        # workspace headroom at 512^3).  compute_forces immediately
+        # replaces state.pos with pos_s, so no alias survives.
+        self._force_jit = jax.jit(
+            self._force_fn,
+            donate_argnums=(0,) if (self.cfg.frugal and
+                                    getattr(self._force_fn, "sorted",
+                                            False)) else ())
         self._block_fns = None              # built lazily (adaptive="block")
         self._block_fast = None             # sorted fused block substeps
         self._ladder_cache = {}             # one-jit macro ladders, by nf
@@ -442,7 +468,7 @@ class Simulation:
         dtype = jnp.dtype(cfg.dtype)
         state = make_state(pos, vel, a if a is not None
                            else cfg.initial_scale_factor, dtype,
-                           with_ids=cfg.sorted_state)
+                           with_ids=cfg.sorted_state, defer_acc=True)
         run_log = RunLog(cfg.output_path, cfg.code_proj) if log else None
         return cls(cfg=cfg, state=state, engine=engine, log=run_log)
 
@@ -484,6 +510,33 @@ class Simulation:
 
     def compute_forces(self):
         if getattr(self._force_fn, "sorted", False):
+            if self.cfg.frugal:
+                # ONE donated program for the whole initial sorted force
+                # INCLUDING the vel/ids perm gathers: the staged
+                # choreography (force program, then host-level gathers)
+                # OOMed at 512^3 even with every dead buffer dropped --
+                # the force program's outputs leave the 16 GB heap too
+                # fragmented for a fresh (N, 3) gather allocation.  One
+                # program lets XLA place the gathers inside the same
+                # arena it just used (measured round-5; the steady-state
+                # step is already one fused program for the same reason).
+                if not hasattr(self, "_initial_fused"):
+                    fjit = self._force_fn
+
+                    def initial(pos, vel, ids):
+                        pos_s, acc, acc_pm, perm, diag = fjit(pos)
+                        vel_s = vel[perm]
+                        ids_s = None if ids is None else ids[perm]
+                        return pos_s, acc, acc_pm, vel_s, ids_s, diag
+                    self._initial_fused = jax.jit(
+                        initial, donate_argnums=(0, 1, 2))
+                st = self.state
+                pos_s, acc, acc_pm, vel_s, ids_s, diag = \
+                    self._initial_fused(st.pos, st.vel, st.ids)
+                self.state = SimState(pos=pos_s, vel=vel_s, acc=acc,
+                                      acc_pm=acc_pm, a=st.a, ids=ids_s)
+                self._check_diag(diag)
+                return
             # sorted-state: the initial force call also reorders the whole
             # state into the tree's space-filling-curve order
             forces = getattr(self._step_fn, "forces_sorted", None) \
@@ -492,12 +545,23 @@ class Simulation:
             old_vel, old_ids = self.state.vel, self.state.ids
             # drop the dead pre-sort pos/acc/acc_pm buffers BEFORE the
             # gathers: at 512^3 the state plus its sorted copy is ~12 GB
-            # and the gather workspace tipped HBM (measured runtime OOM)
+            # and the gather workspace tipped HBM (measured runtime OOM).
+            # vel gets a broadcastable (1, 3) placeholder so the state is
+            # never shape-corrupt; if a gather fails (the very OOM this
+            # choreography guards against) the old vel/ids are restored
+            # (note _gather_rows donates ITS input, so on success the
+            # pre-sort buffers are gone -- callers must not hold them).
             self.state = dataclasses.replace(
                 self.state, pos=pos_s, acc=acc, acc_pm=acc_pm,
-                vel=jnp.zeros((0,)), ids=None)
-            vel = _gather_rows(old_vel, perm)
-            ids = None if old_ids is None else _gather_rows(old_ids, perm)
+                vel=jnp.zeros((1, pos_s.shape[-1]), pos_s.dtype), ids=None)
+            try:
+                vel = _gather_rows(old_vel, perm)
+                ids = None if old_ids is None else _gather_rows(old_ids,
+                                                                perm)
+            except Exception:
+                self.state = dataclasses.replace(self.state, vel=old_vel,
+                                                 ids=old_ids)
+                raise
             del old_vel, old_ids
             self.state = dataclasses.replace(self.state, vel=vel, ids=ids)
             self._check_diag(diag)
@@ -609,7 +673,36 @@ class Simulation:
             grow_all = bits == 0
             grow_open = grow_all or bits & OVF_OPEN
             levels = self.cfg.open_cap_levels
+            # bounded-memory fallback (LEN_TASK flushing as production
+            # policy, 2_Redundant/src/fmm.c:921,377-418): once the p2p
+            # table would outgrow p2p_cap_budget, further OVF_P2P
+            # recoveries ADD a segmented pass over the cached candidate
+            # rows instead of growing the cap -- extreme clustering then
+            # runs at fixed memory where cap growth would OOM HBM
+            grow_p2p = grow_all or bits & OVF_P2P
+            p2p_new, passes_new = self.cfg.p2p_neighbor_cap, \
+                self.cfg.p2p_passes
+            if grow_p2p:
+                cand = up(self.cfg.p2p_neighbor_cap)
+                if cand <= self.cfg.p2p_cap_budget:
+                    p2p_new = cand
+                elif self.cfg.p2p_neighbor_cap < self.cfg.p2p_cap_budget:
+                    # last growth step lands exactly on the budget
+                    p2p_new = (self.cfg.p2p_cap_budget // 32) * 32
+                else:
+                    passes_new += 1
+                    print(f"photoNs-TPU: p2p cap at budget "
+                          f"({self.cfg.p2p_neighbor_cap} <= "
+                          f"{self.cfg.p2p_cap_budget}); switching to "
+                          f"segmented multi-pass (p2p_passes="
+                          f"{passes_new})", file=sys.stderr, flush=True)
+                    if self.log is not None:
+                        self.log.note(
+                            f"capacity recovery: segmented near-field "
+                            f"multi-pass engaged (p2p_passes={passes_new} "
+                            f"at cap {p2p_new})")
             self.cfg = self.cfg.replace(
+                p2p_passes=passes_new,
                 # a per-level schedule grows as a whole: the overflow bit
                 # does not say WHICH level tripped, and the schedule's
                 # relative taper is geometric, so scaling every entry
@@ -623,9 +716,7 @@ class Simulation:
                 m2l_cap_per_node=up(self.cfg.m2l_cap_per_node)
                 if grow_all or bits & OVF_M2L
                 else self.cfg.m2l_cap_per_node,
-                p2p_neighbor_cap=up(self.cfg.p2p_neighbor_cap)
-                if grow_all or bits & OVF_P2P
-                else self.cfg.p2p_neighbor_cap)
+                p2p_neighbor_cap=p2p_new)
         self.__post_init__()
 
     def run(self, n_steps: Optional[int] = None,
@@ -712,13 +803,34 @@ class Simulation:
             profiler = PhaseProfiler(self.cfg, self.engine)
             # compile + run all phases once NOW so no in-loop profile ever
             # records compilation (stale compile-inclusive rows, VERDICT r1)
-            profiler.warm(self.state.pos)
+            try:
+                profiler.warm(self.state.pos)
+            except Exception as exc:
+                # the phase pipeline is telemetry: at the largest N its
+                # standalone stage programs can exceed HBM alongside the
+                # resident state -- degrade to unprofiled rows, VISIBLY,
+                # rather than kill the run at warmup
+                profiler = None
+                msg = (f"phase profiler warmup failed "
+                       f"({type(exc).__name__}); phase columns disabled")
+                print(f"photoNs-TPU: WARNING: {msg}",
+                      file=sys.stderr, flush=True)
+                if self.log is not None:
+                    self.log.note(f"WARNING: {msg}")
 
         self.max_adaptive_level = 0
         self.last_level_max = 0          # level of the CURRENT macro step
         # rollback point for elastic capacity recovery: results between
         # verified syncs are invalid if an overflow is detected
-        verified_state, verified_i = self.state, 0
+        # Frugal runs hold the rollback point as HOST copies: the donated
+        # step invalidates every device alias of the pre-step state, and a
+        # second resident device copy (~7 GB at 512^3) is exactly the HBM
+        # the donation frees.  One device_get per sync window is the cost.
+        _keep = ((lambda s: jax.device_get(s)) if cfg.frugal
+                 else (lambda s: s))
+        _restore = ((lambda s: jax.device_put(s)) if cfg.frugal
+                    else (lambda s: s))
+        verified_state, verified_i = _keep(self.state), 0
         pending_ovf = {}
         pending_rows = []        # buffered log rows, flushed at each sync
         window_t0 = time.perf_counter()
@@ -818,7 +930,7 @@ class Simulation:
                     float(self.state.pos[0, 0])
                     _close_span(time.perf_counter())
                     self._check_diag(diag)
-                    verified_state, verified_i = self.state, i + 1
+                    verified_state, verified_i = _keep(self.state), i + 1
                     pending_ovf = {}
                 except CapacityOverflowError as e:
                     retries += 1
@@ -829,7 +941,7 @@ class Simulation:
                     # invalid window's buffered log rows are discarded and
                     # re-emitted by the replay)
                     self._grow_capacities(kind=e.kind, bits=e.bits)
-                    self.state = verified_state
+                    self.state = _restore(verified_state)
                     pending_ovf = {}
                     i = verified_i
                     pending_rows = []
@@ -846,11 +958,13 @@ class Simulation:
                 for _, _, rdt, _lv in pending_rows:
                     self.timers.add("step",
                                     rdt if rdt is not None else step_avg)
+                profiled_window = False
                 if (profiler is not None
                         and windows_done % profile_interval == 0):
                     try:
                         profiler.profile(self.state.pos, self.timers)
                         profile_failures = 0
+                        profiled_window = True
                     except Exception as exc:
                         # the phase pipeline's transients alongside the
                         # resident fused step can exceed HBM at the
@@ -886,7 +1000,7 @@ class Simulation:
                              "step": rdt if rdt is not None else step_avg},
                             n_p2p=self.last_diag.get("n_p2p", 0),
                             n_m2l=self.last_diag.get("n_m2l", 0),
-                            level=rlvl)
+                            level=rlvl, profiled=profiled_window)
                 pending_rows = []
 
             while snap_left and a_now >= snap_left[0] - 1e-12:

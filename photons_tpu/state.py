@@ -46,15 +46,24 @@ class SimState:
 
 
 def make_state(pos, vel, a: float, dtype=jnp.float32,
-               with_ids: bool = False) -> SimState:
-    """Build a fresh SimState with zeroed accelerations."""
+               with_ids: bool = False, defer_acc: bool = False) -> SimState:
+    """Build a fresh SimState with zeroed accelerations.
+
+    defer_acc: allocate the accelerations as (1, 3) broadcast placeholders
+    instead of full (N, 3) zero buffers.  Semantically identical anywhere
+    acc enters additively (every kick), and saves 2 * N * 3 * 4 bytes of
+    HBM until the first force computation replaces them -- 3.2 GB at
+    512^3, where the initial sorted force program otherwise runs with the
+    dead zero buffers resident (measured runtime OOM, round 4)."""
     pos = jnp.asarray(pos, dtype)
     vel = jnp.asarray(vel, dtype)
+    zeros = (jnp.zeros((1, pos.shape[-1]), dtype) if defer_acc
+             else jnp.zeros_like(pos))
     return SimState(
         pos=pos,
         vel=vel,
-        acc=jnp.zeros_like(pos),
-        acc_pm=jnp.zeros_like(pos),
+        acc=zeros,
+        acc_pm=zeros,
         a=jnp.asarray(a, dtype),
         ids=jnp.arange(pos.shape[0], dtype=jnp.int32) if with_ids else None,
     )

@@ -28,6 +28,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache (TPU-side dir; the CPU suite uses .jax_cache_cpu):
+# the 512^3 fused-step compile through the axon remote endpoint costs tens
+# of minutes -- a retry without the cache repays it every time
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
 import numpy as np
 
 
@@ -136,6 +144,15 @@ def main():
                          "pk_<n>_<mode>.json for A/B against fixed steps")
     ap.add_argument("--eta", type=float, default=0.025,
                     help="adaptive accuracy parameter (dt < eta/|levels|)")
+    ap.add_argument("--pk-on-cpu", action="store_true",
+                    help="measure the P(k) diagnostics through the host "
+                         "CPU backend instead of the accelerator: the "
+                         "512^3 diagnostic paint is a one-off program "
+                         "whose remote compile can cost more than the "
+                         "measurement")
+    ap.add_argument("--no-snapshots", action="store_true",
+                    help="skip snapshot writes (a 512^3 Gadget snapshot "
+                         "is ~4.8 GB on disk; smokes don't want it)")
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -180,10 +197,28 @@ def main():
         cfg = cfg.replace(sorted_state=True, list_reuse=args.list_reuse)
     print(f"IC: Zel'dovich EH98 LCDM, N={n}^3, L={cfg.boxsize:g} kpc/h",
           flush=True)
-    pos, vel = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")
+    ic_cache = os.environ.get("PHOTONS_IC_CACHE", "")
+    if ic_cache and os.path.exists(ic_cache):
+        with np.load(ic_cache) as z:
+            pos, vel = z["pos"], z["vel"]
+        print(f"IC loaded from cache {ic_cache}", flush=True)
+    else:
+        pos, vel = ic_zeldovich(cfg, seed=2026, spectral_index="lcdm")
+        if ic_cache:
+            np.savez(ic_cache, pos=np.asarray(pos, np.float32),
+                     vel=np.asarray(vel, np.float32))
+            print(f"IC cached to {ic_cache}", flush=True)
+
+    import contextlib
+
+    def pk_ctx():
+        if args.pk_on_cpu:
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+        return contextlib.nullcontext()
 
     a0 = cfg.initial_scale_factor
-    k_i, pk_i, _ = power_spectrum(pos, cfg.boxsize, n, n_bins=32)
+    with pk_ctx():
+        k_i, pk_i, _ = power_spectrum(pos, cfg.boxsize, n, n_bins=32)
     print(f"P(k) at a={a0:.4f} measured ({len(k_i)} bins)", flush=True)
 
     sim = Simulation.from_arrays(cfg, pos, vel, engine=args.engine, log=True)
@@ -192,7 +227,8 @@ def main():
     adaptive = {"off": False, "global": True, "block": "block"}[args.adaptive]
     t0 = time.perf_counter()
     sim.run(n_steps=args.steps, a_final=args.a_final,
-            snapshot_times=(0.25, 0.5, args.a_final),
+            snapshot_times=None if args.no_snapshots
+            else (0.25, 0.5, args.a_final),
             adaptive=adaptive, eta=args.eta,
             profile_interval=0 if args.no_profile
             else args.profile_interval)
@@ -200,8 +236,26 @@ def main():
     print(f"run: {wall:.1f}s total, {wall / args.steps:.2f} s/step",
           flush=True)
 
+    # peak-HBM census (device allocator stats; axon/tpu only)
+    hbm = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = {k: int(v) for k, v in stats.items()
+               if k in ("bytes_in_use", "peak_bytes_in_use",
+                        "bytes_limit", "largest_alloc_size")}
+        if hbm:
+            msg = (f"HBM census: peak {hbm.get('peak_bytes_in_use', 0)/2**30:.2f}"
+                   f" GiB, in-use {hbm.get('bytes_in_use', 0)/2**30:.2f} GiB"
+                   f" of {hbm.get('bytes_limit', 0)/2**30:.2f} GiB")
+            print(msg, flush=True)
+            if sim.log is not None:
+                sim.log.note(msg)
+    except Exception:
+        pass
+
     pos_f = np.asarray(sim.state.pos)
-    k_f, pk_f, n_modes = power_spectrum(pos_f, cfg.boxsize, n, n_bins=32)
+    with pk_ctx():
+        k_f, pk_f, n_modes = power_spectrum(pos_f, cfg.boxsize, n, n_bins=32)
 
     d_i = cosmology.growth_factor(a0, cfg.omega_m, cfg.omega_x)
     d_f = cosmology.growth_factor(args.a_final, cfg.omega_m, cfg.omega_x)
@@ -223,6 +277,7 @@ def main():
         "pm_gradient": sim.cfg.pm_gradient,
         "pm_interlace": sim.cfg.pm_interlace,
         "recoveries": sim.recoveries,
+        "hbm": hbm,
         "adaptive": args.adaptive,
         "max_adaptive_level": int(getattr(sim, "max_adaptive_level", 0)),
         "final_caps": {"open": sim.cfg.open_cap_per_node,

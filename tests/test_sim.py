@@ -272,3 +272,60 @@ def test_split_step_matches_fused():
     s2.run(n_steps=3, a_final=a1)
     np.testing.assert_allclose(np.asarray(s1.state.pos),
                                np.asarray(s2.state.pos), rtol=0, atol=1e-12)
+
+
+def test_hbm_frugal_stepping_matches_default():
+    """cfg.hbm_frugal=True (the 512^3 memory choreography: donated fused
+    step, deferred acc placeholders, host-side rollback state) is
+    numerically identical to the default path -- sorted AND unsorted."""
+    cfg = SimConfig(boxsize=50.0, n_side=16, n_part_total=512,
+                    dtype="float64", leaf_size=16)
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0, 50.0, (512, 3))
+    a1 = cfg.initial_scale_factor * 1.05
+    for sorted_state in (False, True):
+        base = cfg.replace(sorted_state=sorted_state)
+        ref = Simulation.from_arrays(base, pos, np.zeros_like(pos),
+                                     engine="fmm")
+        ref.run(n_steps=3, a_final=a1)
+        fr = Simulation.from_arrays(base.replace(hbm_frugal=True), pos,
+                                    np.zeros_like(pos), engine="fmm")
+        fr.run(n_steps=3, a_final=a1)
+        key = lambda p: np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+        pr, pf = np.asarray(ref.state.pos), np.asarray(fr.state.pos)
+        np.testing.assert_allclose(pf[key(pf)], pr[key(pr)],
+                                   rtol=0, atol=1e-12)
+
+
+def test_recovery_engages_segmented_multipass():
+    """Elastic recovery at the p2p cap budget switches to segmented
+    passes (cfg.p2p_passes) instead of growing the table without bound --
+    the run COMPLETES on a state whose neighbor rows exceed the budget,
+    where round-4 recovery would grow caps until HBM OOM.  Reference:
+    LEN_TASK flushing is the production path (2_Redundant/src/
+    fmm.c:921,377-418)."""
+    rng = np.random.default_rng(5)
+    pos = np.concatenate([
+        rng.uniform(0, 50.0, (1024, 3)),
+        np.mod(rng.normal(0, 50.0 / 200, (1024, 3)) + 25.0, 50.0)])
+    cfg = SimConfig(boxsize=50.0, n_side=16, n_part_total=2048,
+                    dtype="float64", leaf_size=8,
+                    open_cap_per_node=512, m2l_cap_per_node=64,
+                    p2p_neighbor_cap=64, p2p_cap_budget=96)
+    a1 = cfg.initial_scale_factor * 1.02
+
+    sim = Simulation.from_arrays(cfg, pos, np.zeros_like(pos), engine="fmm")
+    sim.run(n_steps=1, a_final=a1)
+    assert sim.recoveries > 0
+    assert sim.cfg.p2p_passes > 1                    # fallback engaged
+    assert sim.cfg.p2p_neighbor_cap <= cfg.p2p_cap_budget
+
+    # forces equal the roomy no-recovery configuration
+    roomy = Simulation.from_arrays(
+        cfg.replace(p2p_neighbor_cap=512), pos, np.zeros_like(pos),
+        engine="fmm")
+    roomy.run(n_steps=1, a_final=a1)
+    assert roomy.recoveries == 0
+    np.testing.assert_allclose(np.asarray(sim.state.pos),
+                               np.asarray(roomy.state.pos),
+                               rtol=0, atol=1e-12)
