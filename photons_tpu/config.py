@@ -148,6 +148,10 @@ class SimConfig:
     # kernel, hotter leaves the indexing (in-kernel gather) one -- the
     # K-bucketed composition of the reference's two GPU layouts
     # (ops/p2p_pallas.p2p_hybrid)
+    discard_margin: float = 0.0         # inflate the traversal's discard
+    # horizon to cutoff*(1+margin) (see traversal_cutoff).  0.11 covers
+    # one leaf shell at the 256^3 flagship geometry -- the lever for the
+    # Zel'dovich-IC truncation transient (VERDICT r4 missing-4)
     traversal_quantized: bool = False   # classify MAC candidates from
     # u16 fixed-point packed node geometry (3 u32 gathers instead of 7
     # f32/i32): conservative-identical pair sets, ~2.3x less gather
@@ -198,6 +202,24 @@ class SimConfig:
     @property
     def cutoff_radius(self) -> float:
         return 4.5 * self.split_radius
+
+    @property
+    def traversal_cutoff(self) -> float:
+        """Near-field search horizon: ``cutoff_radius * (1+discard_margin)``.
+
+        The traversal discards node pairs whose minimum gap exceeds this
+        (fmm.c:306-314 -DLONGSHORT); the P2P kernels apply the erfc-screened
+        law with no hard truncation, so any margin only ADDS erfc-damped
+        tail pairs -- it can never change which forces are correct, only
+        how much of the screened tail is summed in the near field.  On
+        lattice-coherent states (Zel'dovich ICs) the leaf gaps quantize the
+        discard boundary ~11% beyond the cutoff, where the dropped
+        erfc(r/2rs) tail reads against a near-cancelling net force
+        (BENCH_NOTES round-5 'zeld-IC rs sensitivity'); a margin of one
+        leaf shell recovers it.  Ghost exchange and PM brick halos size to
+        this same horizon so sharded runs stay exact.
+        """
+        return self.cutoff_radius * (1.0 + self.discard_margin)
 
     @property
     def soften_scale(self) -> float:

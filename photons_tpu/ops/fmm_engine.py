@@ -188,13 +188,13 @@ def p2p_stage(tree: Tree, lists: InteractionLists, cfg: SimConfig,
         acc_p2p, nbr_overflow = p2p_hybrid(
             tree, lists, mass, cfg.soften_scale, rs, box,
             k_threshold=cfg.p2p_hybrid_threshold, leaf_active=leaf_active,
-            cutoff=cfg.cutoff_radius if cfg.longshort else None)
+            cutoff=cfg.traversal_cutoff if cfg.longshort else None)
     elif p2p_backend in ("indexing", "redundant"):
         from photons_tpu.ops.p2p_pallas import p2p_pallas
         acc_p2p, nbr_overflow = p2p_pallas(
             tree, lists, mass, cfg.soften_scale, rs, box,
             layout=p2p_backend, leaf_active=leaf_active,
-            cutoff=cfg.cutoff_radius if cfg.longshort else None)
+            cutoff=cfg.traversal_cutoff if cfg.longshort else None)
     else:
         raise ValueError(f"unknown p2p backend {p2p_backend!r}")
     return acc_p2p, nbr_overflow
@@ -510,7 +510,7 @@ def fmm_forces(pos, cfg: SimConfig, p2p_backend: str = "jnp", valid=None,
     Returns (acc (N,3), diag dict of scalars).
     """
     n = pos.shape[0]
-    cutoff = cfg.cutoff_radius if cfg.longshort else None
+    cutoff = cfg.traversal_cutoff if cfg.longshort else None
     box = cfg.boxsize if cfg.periodic else None
     lo, hi = (0.0, cfg.boxsize)
     if cutoff is not None and cfg.list_reuse > 1:

@@ -270,7 +270,7 @@ def _force_shard(pos, valid, xbounds, ybounds, cfg: SimConfig,
         g_ovf = halo_bad = jnp.asarray(False)
     else:
         gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
-            pos, valid, xbounds, ybounds, cfg.cutoff_radius, box, ghost_cap,
+            pos, valid, xbounds, ybounds, cfg.traversal_cutoff, box, ghost_cap,
             hops_x, hops_y, AXX, AXY)
         pos_all = jnp.concatenate([pos, gpos])
         val_all = jnp.concatenate([valid, gval])
@@ -301,7 +301,7 @@ def _force_shard(pos, valid, xbounds, ybounds, cfg: SimConfig,
         moments = (root_m[None, :],)
 
     _, near_mask, _ = toptree_far_field(
-        _Root, AXES, cfg.open_angle, cfg.cutoff_radius, box, 1e-9 * box)
+        _Root, AXES, cfg.open_angle, cfg.traversal_cutoff, box, 1e-9 * box)
     n_global, mass_global = _global_invariants(_Root, d)
     ix = lax.axis_index(AXX)
     iy = lax.axis_index(AXY)

@@ -84,7 +84,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, p2p_backend: str = "jnp",
             return 0
         w = box / n_axis
         return min(n_axis - 1,
-                   max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+                   max(1, int(np.ceil(cfg.traversal_cutoff / w)) + 1))
     hops_x, hops_y = hops(dx), hops(dy)
 
     shard = P(AXES)
@@ -197,7 +197,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
             return 0
         w = box / n_axis
         return min(n_axis - 1,
-                   max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+                   max(1, int(np.ceil(cfg.traversal_cutoff / w)) + 1))
     hops_x, hops_y = hops(dx), hops(dy)
     shard, rep = P(AXES), P()
 
@@ -237,7 +237,7 @@ def make_sharded_block_fns(cfg: SimConfig, mesh: Mesh,
 
         active = closing[levels] & valid
         gpos, gval, g_ovf, halo_bad = gather_ghosts_2d(
-            pos, valid, xb, yb, cfg.cutoff_radius, box, ghost_cap,
+            pos, valid, xb, yb, cfg.traversal_cutoff, box, ghost_cap,
             hops_x, hops_y, AXX, AXY)
         pos_all = jnp.concatenate([pos, gpos])
         val_all = jnp.concatenate([valid, gval])

@@ -111,7 +111,7 @@ class PipelinedSimulation:
         box = cfg.boxsize
         dtype = jnp.dtype(cfg.dtype)
         self._adjacency_eps = 1e-9 * box
-        self._cutoff = cfg.cutoff_radius if cfg.longshort else None
+        self._cutoff = cfg.traversal_cutoff if cfg.longshort else None
         self._box = box if cfg.periodic else None
 
         if cfg.longshort:

@@ -93,7 +93,7 @@ class PhaseProfiler:
         from photons_tpu.tree.build import build_tree
 
         rs = cfg.split_radius if cfg.longshort else None
-        cutoff = cfg.cutoff_radius if cfg.longshort else None
+        cutoff = cfg.traversal_cutoff if cfg.longshort else None
         box = cfg.boxsize if cfg.periodic else None
         mass = cfg.particle_mass
 
@@ -129,7 +129,7 @@ class PhaseProfiler:
             self.f_p2p = _aot(jax.jit(lambda tree, lists: p2p_hybrid(
                 tree, lists, mass, cfg.soften_scale, rs, box,
                 k_threshold=cfg.p2p_hybrid_threshold,
-                cutoff=cfg.cutoff_radius if cfg.longshort else None)[0]))
+                cutoff=cfg.traversal_cutoff if cfg.longshort else None)[0]))
         else:
             from photons_tpu.ops.p2p_pallas import p2p_compute, p2p_prepare
 
@@ -260,7 +260,7 @@ class ShardedPhaseProfiler:
                 return 0
             w = box / n_axis
             return min(n_axis - 1,
-                       max(1, int(np.ceil(cfg.cutoff_radius / w)) + 1))
+                       max(1, int(np.ceil(cfg.traversal_cutoff / w)) + 1))
         hops_x, hops_y = hops(dx), hops(dy)
 
         dtype = jnp.dtype(cfg.dtype)
@@ -271,7 +271,7 @@ class ShardedPhaseProfiler:
         def prefix(upto: int):
             def per_shard(pos, valid, xb, yb):
                 gpos, gval, _, _ = gather_ghosts_2d(
-                    pos, valid, xb, yb, cfg.cutoff_radius, box, ghost_cap,
+                    pos, valid, xb, yb, cfg.traversal_cutoff, box, ghost_cap,
                     hops_x, hops_y, AXX, AXY)
                 chk = jnp.sum(gpos[:, 0])
                 if upto >= 1:
@@ -283,7 +283,7 @@ class ShardedPhaseProfiler:
                     chk = chk + jnp.sum(tree.moments[-1][:, 0])
                 if upto >= 2:
                     lists = dual_tree_traversal(
-                        tree, theta=cfg.open_angle, cutoff=cfg.cutoff_radius,
+                        tree, theta=cfg.open_angle, cutoff=cfg.traversal_cutoff,
                         boxsize=pbox, open_cap=cfg.open_cap_per_node,
                         m2l_cap=cfg.m2l_cap_per_node,
                         p2p_cap=cfg.p2p_neighbor_cap,

@@ -186,6 +186,20 @@ def main():
                          "REGRESSED the flagship Zel'dovich state "
                          "2.19e-3 -> 7.0e-3 (lattice CIC-kink "
                          "pathology); 'read' is safe on every state")
+    ap.add_argument("--m2l-cap", type=int, default=64,
+                    help="m2l_cap_per_node; the M2L-ACTIVE trial "
+                         "(--leaf-size 16 --theta 1.0) needs more than "
+                         "the production 64")
+    ap.add_argument("--p2p-passes", type=int, default=1,
+                    help="segmented near-field multi-pass (cfg.p2p_passes)"
+                         ": fits the S=16 flagship p2p table in bounded "
+                         "memory (VERDICT r4 next-6)")
+    ap.add_argument("--discard-margin", type=float, default=0.0,
+                    help="inflate the traversal discard horizon to "
+                         "cutoff*(1+margin) (cfg.discard_margin).  0.11 "
+                         "covers one leaf shell at the 256^3 flagship -- "
+                         "the Zel'dovich-IC truncation lever (VERDICT r4 "
+                         "missing-4)")
     ap.add_argument("--exact-mac", action="store_true",
                     help="engine A/B: disable quantized MAC + tapered caps")
     ap.add_argument("--dtype", default="float32",
@@ -219,7 +233,7 @@ def main():
     cfg = lcdm_config(
         n_part=n ** 3, n_side=n_side, leaf_size=args.leaf_size,
         dtype=args.dtype, open_cap_per_node=args.open_cap,
-        p2p_neighbor_cap=args.p2p_cap, m2l_cap_per_node=64,
+        p2p_neighbor_cap=args.p2p_cap, m2l_cap_per_node=args.m2l_cap,
         # pre-sized like the production run (run_pk_parity): uniform-
         # random states have MORE Hilbert straddlers than the lattice;
         # the default 8 overflows and the XLA residual path then leaves
@@ -232,6 +246,8 @@ def main():
         open_cap_levels=None if args.exact_mac else levels,
         traversal_quantized=not args.exact_mac,
         pm_interlace=args.interlace,
+        discard_margin=args.discard_margin,
+        p2p_passes=args.p2p_passes,
         **({"open_angle": args.theta} if args.theta else {}))
     L = cfg.boxsize
 
@@ -317,6 +333,8 @@ def main():
                    ("uniform" if args.uniform_ic else "zeldovich-ic")),
         "quantized_mac": not args.exact_mac,
         "interlace": args.interlace,
+        "discard_margin": args.discard_margin,
+        "m2l_cap": args.m2l_cap, "p2p_passes": args.p2p_passes,
         "theta": args.theta or cfg.open_angle,
         "leaf_size": args.leaf_size,
         "open_cap": args.open_cap, "p2p_cap": args.p2p_cap,
