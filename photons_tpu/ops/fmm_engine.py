@@ -81,17 +81,22 @@ def apply_m2l_pair(tree: Tree, lists: InteractionLists,
                 tbl_c.shape[0], cap, -1)
             return jnp.sum(jnp.where(valid[..., None], dl, 0.0), axis=1)
 
+        # round the chunk down to a divisor of the (power-of-two) node
+        # count so the chunks scan: lax.scan's loop-carried sequencing
+        # bounds the live derivative temp to ONE chunk, where the earlier
+        # unrolled optimization_barrier loop only stopped re-fusion, not
+        # re-ordering (see the P2M note in tree/build.py)
+        while chunk < n_nodes and n_nodes % chunk:
+            chunk //= 2
         if chunk >= n_nodes:
             add = level_block(tbl, tree.centers[d])
         else:
-            # barrier per chunk: XLA otherwise fuses the chunked maps
-            # through the concatenate into one full-width loop (see the
-            # P2M chunking note in tree/build.py)
-            add = jnp.concatenate(
-                [jax.lax.optimization_barrier(
-                    level_block(tbl[c0:c0 + chunk],
-                                tree.centers[d][c0:c0 + chunk]))
-                 for c0 in range(0, n_nodes, chunk)], axis=0)
+            nc = n_nodes // chunk
+            _, add = jax.lax.scan(
+                lambda _, xs, f=level_block: (None, f(*xs)), None,
+                (tbl.reshape(nc, chunk, cap),
+                 tree.centers[d].reshape(nc, chunk, 3)))
+            add = add.reshape(n_nodes, -1)
         locals_per_level[d] = locals_per_level[d] + add
     return locals_per_level
 
@@ -119,23 +124,28 @@ def downward_l2l(tree: Tree, locals_per_level):
 def leaf_l2p(tree: Tree, leaf_locals):
     """Evaluate leaf local expansions at the particles -> (nleaf, S, 3).
 
-    Chunked over the leaf axis with per-chunk optimization_barriers:
-    l2p's monomial table is (nleaf, S, 20) -- 10 GB at a 2^20-leaf
-    512^3 tree (measured compile OOM; XLA fuses unbarriered chunks back
-    into one full-width loop, see tree/build.py's P2M note)."""
-    n_leaf = tree.pos.shape[0]
-    chunk = 1 << 17
+    lax.scan over 64K-leaf chunks: l2p's monomial table is
+    (nleaf, S, 20) -- 10 GB at a 2^20-leaf 512^3 tree (measured compile
+    OOM).  An unrolled optimization_barrier loop stops re-fusion but not
+    re-ordering (the 512^3 dump showed several chunk temps in flight);
+    scan's loop-carried sequencing bounds the live temp to one chunk."""
+    n_leaf, s = tree.pos.shape[:2]
+    chunk = 1 << 16
 
-    def block(sl):
-        dx = tree.pos[sl] - tree.centers[-1][sl, None, :]
-        acc = mp.l2p(leaf_locals[sl], dx)
-        return jnp.where(tree.mask[sl, :, None], acc, 0.0)
+    def block(lloc, pos, ctr, msk):
+        acc = mp.l2p(lloc, pos - ctr[:, None, :])
+        return jnp.where(msk[:, :, None], acc, 0.0)
 
-    if n_leaf <= chunk:
-        return block(slice(None))
-    return jnp.concatenate(
-        [jax.lax.optimization_barrier(block(slice(i, i + chunk)))
-         for i in range(0, n_leaf, chunk)])
+    if n_leaf <= chunk or n_leaf % chunk:
+        return block(leaf_locals, tree.pos, tree.centers[-1], tree.mask)
+    nc = n_leaf // chunk
+    _, out = jax.lax.scan(
+        lambda _, xs: (None, block(*xs)), None,
+        (leaf_locals.reshape(nc, chunk, -1),
+         tree.pos.reshape(nc, chunk, s, 3),
+         tree.centers[-1].reshape(nc, chunk, 3),
+         tree.mask.reshape(nc, chunk, s)))
+    return out.reshape(n_leaf, s, 3)
 
 
 def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,

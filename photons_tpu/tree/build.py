@@ -118,20 +118,25 @@ def tree_from_sorted(leaf_pos, leaf_mask, perm, mass: float) -> Tree:
     masses = jnp.where(leaf_mask, mass, 0.0).astype(pos.dtype)
     # chunk the leaf axis: p2m expands (nleaf, S, NMULTI) monomials --
     # 10.7 GB at 512^3 / S=128 (1M leaves), the build_tree OOM at that
-    # scale.  128K-leaf chunks keep the live temp at ~1.3 GB.
-    _P2M_CHUNK = 1 << 17
-    if n_leaf > _P2M_CHUNK:
-        # optimization_barrier per chunk: without it XLA fuses the
-        # chunked maps back through the concatenate into ONE loop whose
-        # temp is the full (nleaf, S, 20) monomial array -- the 10 GB
-        # allocation reappeared inside the full 512^3 force program
-        # (measured) even though standalone build_tree compiled fine
-        m_leaf = jnp.concatenate([
-            jax.lax.optimization_barrier(
-                p2m(leaf_pos[i:i + _P2M_CHUNK]
-                    - center_leaf[i:i + _P2M_CHUNK, None, :],
-                    masses[i:i + _P2M_CHUNK]))
-            for i in range(0, n_leaf, _P2M_CHUNK)])
+    # scale.  lax.scan over 64K-leaf chunks: the earlier unrolled
+    # optimization_barrier loop stopped XLA re-fusing the chunks but NOT
+    # re-ordering them -- the 512^3 OOM dump showed the scheduler holding
+    # FIVE chunk temps (6.25 GB) in flight.  scan's loop-carried
+    # sequencing bounds the live monomial temp to ONE chunk.
+    _P2M_CHUNK = 1 << 16
+    if n_leaf > _P2M_CHUNK and n_leaf % _P2M_CHUNK == 0:
+        nc = n_leaf // _P2M_CHUNK
+
+        def _p2m_chunk(_, xs):
+            lp, cl, ms = xs
+            return None, p2m(lp - cl[:, None, :], ms)
+
+        _, m_leaf = jax.lax.scan(
+            _p2m_chunk, None,
+            (leaf_pos.reshape(nc, _P2M_CHUNK, *leaf_pos.shape[1:]),
+             center_leaf.reshape(nc, _P2M_CHUNK, 3),
+             masses.reshape(nc, _P2M_CHUNK, masses.shape[1])))
+        m_leaf = m_leaf.reshape(n_leaf, m_leaf.shape[-1])
     else:
         m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
 

@@ -217,9 +217,20 @@ def main():
         return contextlib.nullcontext()
 
     a0 = cfg.initial_scale_factor
-    with pk_ctx():
-        k_i, pk_i, _ = power_spectrum(pos, cfg.boxsize, n, n_bins=32)
-    print(f"P(k) at a={a0:.4f} measured ({len(k_i)} bins)", flush=True)
+    # the initial P(k) depends only on the (cached) IC: cache it next to
+    # the IC cache so large-N smoke retries skip the ~10 min single-core
+    # 512^3 paint+FFT (PHOTONS_IC_CACHE=foo.npz -> foo.pk.npz)
+    pk_cache = ic_cache + ".pk.npz" if ic_cache else ""
+    if pk_cache and os.path.exists(pk_cache):
+        with np.load(pk_cache) as z:
+            k_i, pk_i = z["k"], z["pk"]
+        print(f"P(k) at a={a0:.4f} loaded from {pk_cache}", flush=True)
+    else:
+        with pk_ctx():
+            k_i, pk_i, _ = power_spectrum(pos, cfg.boxsize, n, n_bins=32)
+        if pk_cache:
+            np.savez(pk_cache, k=np.asarray(k_i), pk=np.asarray(pk_i))
+        print(f"P(k) at a={a0:.4f} measured ({len(k_i)} bins)", flush=True)
 
     sim = Simulation.from_arrays(cfg, pos, vel, engine=args.engine, log=True)
     print(f"engine={args.engine} device={jax.devices()[0].platform} "
