@@ -92,10 +92,18 @@ def apply_m2l_pair(tree: Tree, lists: InteractionLists,
             add = level_block(tbl, tree.centers[d])
         else:
             nc = n_nodes // chunk
+            ctr = tree.centers[d]
+
+            # centers go per-axis (3-minor scan inputs lane-pad 42x;
+            # see the P2M note in tree/build.py)
+            def _m2l_chunk(_, xs, f=level_block):
+                tb, cx, cy, cz = xs
+                return None, f(tb, jnp.stack([cx, cy, cz], axis=-1))
+
             _, add = jax.lax.scan(
-                lambda _, xs, f=level_block: (None, f(*xs)), None,
-                (tbl.reshape(nc, chunk, cap),
-                 tree.centers[d].reshape(nc, chunk, 3)))
+                _m2l_chunk, None,
+                (tbl.reshape(nc, chunk, cap),)
+                + tuple(ctr[:, a].reshape(nc, chunk) for a in range(3)))
             add = add.reshape(n_nodes, -1)
         locals_per_level[d] = locals_per_level[d] + add
     return locals_per_level
@@ -132,20 +140,31 @@ def leaf_l2p(tree: Tree, leaf_locals):
     n_leaf, s = tree.pos.shape[:2]
     chunk = 1 << 16
 
-    def block(lloc, pos, ctr, msk):
-        acc = mp.l2p(lloc, pos - ctr[:, None, :])
-        return jnp.where(msk[:, :, None], acc, 0.0)
-
     if n_leaf <= chunk or n_leaf % chunk:
-        return block(leaf_locals, tree.pos, tree.centers[-1], tree.mask)
+        dx = tree.pos - tree.centers[-1][:, None, :]
+        acc = mp.l2p(leaf_locals, dx)
+        return jnp.where(tree.mask[:, :, None], acc, 0.0)
     nc = n_leaf // chunk
-    _, out = jax.lax.scan(
-        lambda _, xs: (None, block(*xs)), None,
-        (leaf_locals.reshape(nc, chunk, -1),
-         tree.pos.reshape(nc, chunk, s, 3),
-         tree.centers[-1].reshape(nc, chunk, 3),
-         tree.mask.reshape(nc, chunk, s)))
-    return out.reshape(n_leaf, s, 3)
+
+    # per-axis 2-D scan xs + per-axis ys: (…, 3)-minor arrays at a scan
+    # boundary get lane-padded 42x (64 GB at 512^3, measured -- see the
+    # P2M note in tree/build.py); the in-body stack/slice pairs fuse away
+    def block(_, xs):
+        lloc, px, py, pz, cx, cy, cz, msk = xs
+        dx = jnp.stack([px - cx[:, None], py - cy[:, None],
+                        pz - cz[:, None]], axis=-1)
+        acc = mp.l2p(lloc, dx)
+        acc = jnp.where(msk[:, :, None], acc, 0.0)
+        return None, (acc[:, :, 0], acc[:, :, 1], acc[:, :, 2])
+
+    _, (ax, ay, az) = jax.lax.scan(
+        block, None,
+        (leaf_locals.reshape(nc, chunk, -1),)
+        + tuple(tree.pos[:, :, a].reshape(nc, chunk, s) for a in range(3))
+        + tuple(tree.centers[-1][:, a].reshape(nc, chunk) for a in range(3))
+        + (tree.mask.reshape(nc, chunk, s),))
+    return jnp.stack([ax.reshape(n_leaf, s), ay.reshape(n_leaf, s),
+                      az.reshape(n_leaf, s)], axis=-1)
 
 
 def p2p_jnp(tree: Tree, lists: InteractionLists, mass: float, eps: float,

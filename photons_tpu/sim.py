@@ -251,7 +251,19 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
             if periodic:
                 pos = wrap_periodic(pos, boxsize)
             pos_s, acc, acc_pm, perm, diag = force_fn(pos)
-            vel = vel[perm] + (acc + acc_pm) * dkh
+            if cfg.frugal:
+                # store the acc + acc_pm SUM with a (1, 3) broadcastable
+                # placeholder in acc_pm: every consumer only ever reads
+                # the sum (KDK kicks, sim.py:8-11), and the separate
+                # (N, 3) acc_pm costs 2.15 GB of program output + state
+                # at 512^3 -- the measured post-compile runtime OOM
+                # margin.  The reference's part[].acc_pm split is an
+                # artifact of its AoS layout, not a consumer need.
+                acc = acc + acc_pm
+                acc_pm = jnp.zeros((1, 3), acc.dtype)
+                vel = vel[perm] + acc * dkh
+            else:
+                vel = vel[perm] + (acc + acc_pm) * dkh
             ids = None if state.ids is None else state.ids[perm]
             return SimState(pos=pos_s, vel=vel, acc=acc, acc_pm=acc_pm,
                             a=jnp.asarray(a_next, pos_s.dtype),
@@ -268,6 +280,9 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn):
         if periodic:
             pos = wrap_periodic(pos, boxsize)
         acc, acc_pm, diag = force_fn(pos)
+        if cfg.frugal:        # store the sum (see the sorted-step note)
+            acc = acc + acc_pm
+            acc_pm = jnp.zeros((1, 3), acc.dtype)
         vel = vel + (acc + acc_pm) * dkh
         return SimState(pos=pos, vel=vel, acc=acc, acc_pm=acc_pm,
                         a=jnp.asarray(a_next, state.pos.dtype)), diag
@@ -525,6 +540,12 @@ class Simulation:
 
                     def initial(pos, vel, ids):
                         pos_s, acc, acc_pm, perm, diag = fjit(pos)
+                        # frugal: collapse acc_pm into acc (see the
+                        # frugal note in _make_step_fn -- consumers only
+                        # read the sum; the separate output is 2.15 GB
+                        # at 512^3, the runtime OOM margin)
+                        acc = acc + acc_pm
+                        acc_pm = jnp.zeros((1, 3), acc.dtype)
                         vel_s = vel[perm]
                         ids_s = None if ids is None else ids[perm]
                         return pos_s, acc, acc_pm, vel_s, ids_s, diag
@@ -1143,7 +1164,10 @@ class Simulation:
 
         @jax.jit
         def permute_cols(perm, vel, levels, acc, acc_pm, ids):
-            return (vel[perm], levels[perm], acc[perm], acc_pm[perm],
+            # frugal states carry a (1, 3) broadcast placeholder in
+            # acc_pm -- permuting it would gather garbage rows
+            pm = acc_pm if acc_pm.shape[0] == 1 else acc_pm[perm]
+            return (vel[perm], levels[perm], acc[perm], pm,
                     None if ids is None else ids[perm])
 
         @jax.jit
@@ -1208,8 +1232,10 @@ class Simulation:
                 else:
                     (acc_new, pos_s, perm, lists), dsub = \
                         _rebuild(pos, active, False)
-                vel, acc, acc_pm, levels = (vel[perm], acc[perm],
-                                            acc_pm[perm], levels[perm])
+                vel, acc, acc_pm, levels = (
+                    vel[perm], acc[perm],
+                    acc_pm if acc_pm.shape[0] == 1 else acc_pm[perm],
+                    levels[perm])
                 ids = ids[perm] if has_ids else ids
                 pos = pos_ref = pos_s
                 active = closing[0][levels]

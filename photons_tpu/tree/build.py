@@ -126,16 +126,26 @@ def tree_from_sorted(leaf_pos, leaf_mask, perm, mass: float) -> Tree:
     _P2M_CHUNK = 1 << 16
     if n_leaf > _P2M_CHUNK and n_leaf % _P2M_CHUNK == 0:
         nc = n_leaf // _P2M_CHUNK
+        s = leaf_pos.shape[1]
 
+        # scan xs must be PER-AXIS 2-D blocks: a (nc, chunk, S, 3) input
+        # gets a lane-minor 3-axis layout at the scan boundary, whose
+        # (8,128) tiling pads 42x -- a 64 GB copy at 512^3 (measured).
+        # The in-body stack feeds monomials(), which slices the axis
+        # right back off, so nothing 3-minor materializes.
         def _p2m_chunk(_, xs):
-            lp, cl, ms = xs
-            return None, p2m(lp - cl[:, None, :], ms)
+            px, py, pz, cx, cy, cz, ms = xs
+            dx = jnp.stack([px - cx[:, None], py - cy[:, None],
+                            pz - cz[:, None]], axis=-1)
+            return None, p2m(dx, ms)
 
         _, m_leaf = jax.lax.scan(
             _p2m_chunk, None,
-            (leaf_pos.reshape(nc, _P2M_CHUNK, *leaf_pos.shape[1:]),
-             center_leaf.reshape(nc, _P2M_CHUNK, 3),
-             masses.reshape(nc, _P2M_CHUNK, masses.shape[1])))
+            tuple(leaf_pos[:, :, ax].reshape(nc, _P2M_CHUNK, s)
+                  for ax in range(3))
+            + tuple(center_leaf[:, ax].reshape(nc, _P2M_CHUNK)
+                    for ax in range(3))
+            + (masses.reshape(nc, _P2M_CHUNK, s),))
         m_leaf = m_leaf.reshape(n_leaf, m_leaf.shape[-1])
     else:
         m_leaf = p2m(leaf_pos - center_leaf[:, None, :], masses)
